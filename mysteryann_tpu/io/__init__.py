@@ -1,0 +1,12 @@
+from mysteryann_tpu.io.formats import (  # noqa: F401
+    read_fbin,
+    read_ibin,
+    write_fbin,
+    write_ibin,
+    read_meta,
+    read_gt_with_dist,
+    write_gt_with_dist,
+    read_knn_ibin,
+    write_knn_ibin,
+)
+from mysteryann_tpu.io.synthetic import make_cross_modal  # noqa: F401

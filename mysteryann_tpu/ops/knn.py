@@ -1,0 +1,132 @@
+"""Exact k-nearest-neighbor search — tiled matmul + running top-k merge.
+
+The reference *outsources* this step: the projected-graph build consumes a
+precomputed query→base exact kNN file produced by DiskANN utilities
+(reference src/index_bipartite.cpp:2622-2639 loads it; thirdparty/DiskANN
+computes it). We own it instead, TPU-KNN-paper style (PAPERS.md:
+"TPU-KNN: K Nearest Neighbor Search at Peak FLOP/s"): stream base tiles
+through the MXU against a resident query block and fold each tile's
+distances into a running top-k with `jax.lax.top_k` (exact) or
+`jax.lax.approx_min_k` (the TPU partial-reduce path).
+
+This both generates build inputs (train-query kNN) and ground truth for
+recall evaluation — replacing the reference's downloaded GT files.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mysteryann_tpu.ops.distances import Metric, pairwise_dist, prepare_vectors
+
+_INF = jnp.float32(jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "tile", "approx", "precision"))
+def exact_knn_device(
+    queries: jax.Array,
+    base: jax.Array,
+    k: int,
+    metric: Metric = Metric.IP,
+    tile: int = 65536,
+    approx: bool = False,
+    precision: str = "default",
+) -> Tuple[jax.Array, jax.Array]:
+    """kNN of `queries` [B, d] in `base` [N, d] → (dists [B,k], ids [B,k] i32).
+
+    Scans base in tiles of `tile` rows; carry is the running (dists, ids)
+    top-k. Padding rows (when N % tile != 0) are masked to +inf so they can
+    never be selected.
+    """
+    metric = Metric.parse(metric)
+    nb, d = base.shape
+    n_tiles = -(-nb // tile)
+    pad = n_tiles * tile - nb
+    base_p = jnp.pad(base, ((0, pad), (0, 0))) if pad else base
+    base_t = base_p.reshape(n_tiles, tile, d)
+
+    def select(dists, ids):
+        if approx:
+            vals, pos = jax.lax.approx_min_k(dists, k=k)
+        else:
+            neg_vals, pos = jax.lax.top_k(-dists, k)
+            vals = -neg_vals
+        return vals, jnp.take_along_axis(ids, pos, axis=1)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        tile_b, t_idx = inp
+        dists = pairwise_dist(queries, tile_b, metric=metric, precision=precision)
+        col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1) + t_idx * tile
+        dists = jnp.where(col < nb, dists, _INF)
+        cat_d = jnp.concatenate([best_d, dists], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        return select(cat_d, cat_i), None
+
+    init = (
+        jnp.full((queries.shape[0], k), _INF, jnp.float32),
+        jnp.full((queries.shape[0], k), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init, (base_t, jnp.arange(n_tiles, dtype=jnp.int32))
+    )
+    # running merge keeps results sorted ascending already (top_k sorts)
+    return best_d, best_i
+
+
+def exact_knn(
+    queries: np.ndarray,
+    base: np.ndarray,
+    k: int,
+    metric: Metric | str = Metric.IP,
+    query_batch: int = 4096,
+    base_tile: int = 65536,
+    approx: bool = False,
+    precision: str = "default",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-level exact kNN: streams query batches through the device.
+
+    Returns (dists [Q,k] f32, ids [Q,k] i32) as numpy. Handles metric
+    preprocessing (cosine normalization) on device.
+    """
+    metric = Metric.parse(metric)
+    base_d = prepare_vectors(np.asarray(base, np.float32), metric)
+    nq = queries.shape[0]
+    base_tile = min(base_tile, int(base.shape[0]))
+    out_d = np.empty((nq, k), np.float32)
+    out_i = np.empty((nq, k), np.int32)
+    for s in range(0, nq, query_batch):
+        e = min(s + query_batch, nq)
+        qb = prepare_vectors(np.asarray(queries[s:e], np.float32), metric)
+        # pad the query batch to a fixed shape so every chunk hits one
+        # compiled executable
+        bpad = query_batch - (e - s)
+        if bpad:
+            qb = jnp.pad(qb, ((0, bpad), (0, 0)))
+        d_, i_ = exact_knn_device(
+            qb, base_d, k, metric=metric, tile=base_tile, approx=approx,
+            precision=precision,
+        )
+        out_d[s:e] = np.asarray(d_)[: e - s]
+        out_i[s:e] = np.asarray(i_)[: e - s]
+    return out_d, out_i
+
+
+def compute_ground_truth(
+    queries: np.ndarray,
+    base: np.ndarray,
+    k: int,
+    metric: Metric | str = Metric.IP,
+    **kw,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact GT in the reference's GT convention (ids u32 + dists f32).
+
+    Uses full-precision matmuls — GT must be exact, not MXU-bf16-rounded.
+    """
+    d, i = exact_knn(queries, base, k, metric=metric, precision="highest", **kw)
+    return i.astype(np.uint32), d

@@ -1,0 +1,97 @@
+"""Configuration objects.
+
+The reference carries a string-keyed ``Parameters`` map (re-parsed with
+``Get<uint32_t>("M_pjbp")`` at every use site — reference
+include/efanna2e/parameters.h:15-57). We keep typed dataclasses as the real
+API and provide a `Parameters` compatibility shim with the same
+Set/Get semantics for users migrating driver scripts.
+
+Parameter vocabulary (same names as the reference CLIs,
+reference tests/test_build_roargraph.cpp:34-68):
+
+- ``M_sq``   : training-query kNN list truncation length (a.k.a. Nq)
+- ``M_pjbp`` : projection-graph degree bound M
+- ``L_pjpq`` : build-time search queue length L
+- ``L_pq``   : query-time search queue length
+- ``M_bp``   : bipartite base-side degree bound (bipartite variant)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+
+@dataclasses.dataclass(frozen=True)
+class BuildConfig:
+    """RoarGraph build hyper-parameters (reference run_roargraph_test.sh:5-10)."""
+
+    M_sq: int = 100          # truncate each training query's kNN list to this
+    M_pjbp: int = 35         # projection graph degree bound
+    L_pjpq: int = 500        # connectivity-pass search queue length
+    metric: str = "ip"       # {"l2", "ip", "cosine"}
+    # TPU batching knobs (no reference analogue — OpenMP picked thread counts)
+    query_batch: int = 8192      # phase-A queries pruned per device batch
+    search_batch: int = 1024     # phase-D nodes searched per device batch
+    connectivity_iters: int = 0  # 0 = auto (derived from L_pjpq)
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.metric not in ("l2", "ip", "cosine"):
+            raise ValueError(f"unknown metric {self.metric!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchConfig:
+    """Query-time knobs (reference run_roargraph_search_test.sh:1-15)."""
+
+    k: int = 10
+    L_pq: int = 100          # beam / candidate pool length
+    metric: str = "ip"
+    query_batch: int = 1024  # queries traversed in lockstep per device call
+    max_hops: int = 0        # 0 = auto cap derived from L_pq
+
+    def __post_init__(self):
+        if self.L_pq < self.k:
+            raise ValueError(f"L_pq ({self.L_pq}) must be >= k ({self.k})")
+
+
+class Parameters:
+    """String-map compatibility shim mirroring efanna2e::Parameters.
+
+    Values are stored as-is and coerced on Get, mirroring the reference's
+    stringify-on-Set / parse-on-Get behavior (parameters.h:17-41). Raises
+    KeyError on missing keys like the reference throws.
+    """
+
+    def __init__(self, **kwargs: Any):
+        self._params: Dict[str, Any] = dict(kwargs)
+
+    def set(self, name: str, value: Any) -> None:
+        self._params[name] = value
+
+    # C++-style aliases
+    Set = set
+
+    def get(self, name: str, ty: type = int) -> Any:
+        if name not in self._params:
+            raise KeyError(f"Parameter '{name}' not set")
+        return ty(self._params[name])
+
+    Get = get
+
+    def to_build_config(self) -> BuildConfig:
+        kw = {}
+        for f in dataclasses.fields(BuildConfig):
+            if f.name in self._params:
+                v = self._params[f.name]
+                kw[f.name] = f.type if False else (str(v) if f.name == "metric" else int(v))
+        return BuildConfig(**kw)
+
+    def to_search_config(self) -> SearchConfig:
+        kw = {}
+        for f in dataclasses.fields(SearchConfig):
+            if f.name in self._params:
+                v = self._params[f.name]
+                kw[f.name] = str(v) if f.name == "metric" else int(v)
+        return SearchConfig(**kw)

@@ -1,0 +1,70 @@
+import numpy as np
+import pytest
+
+from mysteryann_tpu.io import (
+    read_fbin,
+    read_ibin,
+    write_fbin,
+    write_ibin,
+    read_meta,
+    read_gt_with_dist,
+    write_gt_with_dist,
+    read_knn_ibin,
+    write_knn_ibin,
+    make_cross_modal,
+)
+
+
+def test_fbin_roundtrip(tmp_path, rng):
+    x = rng.standard_normal((100, 33)).astype(np.float32)
+    p = str(tmp_path / "x.fbin")
+    write_fbin(p, x)
+    assert read_meta(p) == (100, 33)
+    np.testing.assert_array_equal(read_fbin(p), x)
+    np.testing.assert_array_equal(read_fbin(p, mmap=False), x)
+
+
+def test_ibin_roundtrip(tmp_path, rng):
+    x = rng.integers(0, 1 << 31, size=(17, 8)).astype(np.uint32)
+    p = str(tmp_path / "x.ibin")
+    write_ibin(p, x)
+    np.testing.assert_array_equal(read_ibin(p), x)
+
+
+def test_size_validation(tmp_path, rng):
+    p = str(tmp_path / "bad.fbin")
+    write_fbin(p, rng.standard_normal((10, 4)).astype(np.float32))
+    with open(p, "ab") as f:
+        f.write(b"\x00" * 4)  # corrupt: extra bytes
+    with pytest.raises(ValueError, match="bytes"):
+        read_meta(p)
+
+
+def test_gt_roundtrip(tmp_path, rng):
+    ids = rng.integers(0, 1000, size=(20, 10)).astype(np.uint32)
+    dists = rng.standard_normal((20, 10)).astype(np.float32)
+    p = str(tmp_path / "gt.bin")
+    write_gt_with_dist(p, ids, dists)
+    i2, d2 = read_gt_with_dist(p)
+    np.testing.assert_array_equal(i2, ids)
+    np.testing.assert_array_equal(d2, dists)
+
+
+def test_knn_ibin_k_check(tmp_path, rng):
+    knn = rng.integers(0, 100, size=(5, 8)).astype(np.uint32)
+    p = str(tmp_path / "knn.ibin")
+    write_knn_ibin(p, knn)
+    np.testing.assert_array_equal(read_knn_ibin(p, expected_k=8), knn)
+    with pytest.raises(ValueError, match="M_sq"):
+        read_knn_ibin(p, expected_k=9)
+
+
+def test_synthetic_shapes_and_ood():
+    base, q = make_cross_modal(1000, 200, 64, metric="ip", seed=7)
+    assert base.shape == (1000, 64) and q.shape == (200, 64)
+    assert base.dtype == np.float32
+    # ip/cosine variants are unit norm
+    np.testing.assert_allclose(np.linalg.norm(q, axis=1), 1.0, atol=1e-5)
+    # OOD: query centroid is measurably displaced from base centroid
+    gap = np.linalg.norm(base.mean(0) - q.mean(0))
+    assert gap > 0.05
