@@ -1,0 +1,127 @@
+"""Batched occlusion pruning — the RoarGraph edge-selection rule on TPU.
+
+All four reference prune functions share one shape (reference
+src/index_bipartite.cpp: PruneBiSearchBaseGetBase:1612-1694,
+PruneProjectionReverseCandidates:1527-1610,
+PruneProjectionInternalReverseCandidates:1434-1525,
+PruneProjectionBaseSearchCandidates:1846-1940):
+
+1. dedup candidates, drop the source node, sort by (distance-to-source, id);
+2. greedy scan: keep candidate ``p`` unless some already-kept ``t`` has
+   ``d(p, t) < d(p, src)`` (the occlusion rule), until ``cap`` kept;
+   (the reference's "second relaxed pass" re-scans with the identical
+   factor-1.0 rule — it can never admit a candidate the first pass
+   occluded, so it is semantically inert and not reproduced);
+3. optional fill pass: append closest occluded candidates until ``cap``;
+4. the connectivity-pass variant refuses to *seed* the kept set with a
+   candidate already present in the node's projection list
+   (src/index_bipartite.cpp:1861-1864) — later positions may keep them.
+
+The scan is inherently sequential in the kept set (SURVEY §7 hard part #2),
+but only ``C`` steps long; it runs as a ``fori_loop`` over a precomputed
+candidate-pairwise distance tile ``[B, C, C]`` so the whole batch prunes in
+lockstep with all distances coming from one MXU contraction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mysteryann_tpu.ops.distances import Metric
+
+_INF = jnp.float32(jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("cap", "metric", "fill"))
+def batched_occlusion_prune(
+    src_vecs: jax.Array,     # f32 [B, d] — the node whose list is being built
+    src_ids: jax.Array,      # i32 [B] — its id (excluded from candidates)
+    cand_ids: jax.Array,     # i32 [B, C] — sentinel >= N marks empty slots
+    cand_dists: jax.Array,   # f32 [B, C] — distance(candidate, src)
+    base: jax.Array,         # f32 [N, d]
+    cap: int,
+    metric: Metric = Metric.IP,
+    fill: bool = True,
+    not_seedable: jax.Array | None = None,  # bool [B, C]
+) -> Tuple[jax.Array, jax.Array]:
+    """Return (pruned_ids i32 [B, cap] sentinel-padded, counts i32 [B])."""
+    metric = Metric.parse(metric)
+    n = base.shape[0]
+    B, C = cand_ids.shape
+
+    valid = (cand_ids < n) & (cand_ids != src_ids[:, None]) & (cand_ids >= 0)
+    d_sorted_key = jnp.where(valid, cand_dists, _INF)
+    seed_block = (jnp.zeros((B, C), jnp.bool_)
+                  if not_seedable is None else not_seedable)
+
+    # sort by (dist, id); invalid slots sink to the end
+    d_s, id_s, seedblk_s = jax.lax.sort(
+        (d_sorted_key, cand_ids, seed_block), dimension=-1, num_keys=2)
+    valid_s = jnp.isfinite(d_s)
+    # dedup: same id ⇒ same dist ⇒ adjacent after the sort
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.bool_), id_s[:, 1:] == id_s[:, :-1]], axis=1)
+    valid_s = valid_s & ~dup
+
+    # candidate-pairwise distances [B, C, C] — one batched MXU contraction
+    vecs = jnp.take(base, jnp.minimum(id_s, n - 1), axis=0)       # [B, C, d]
+    ip = jnp.einsum("bcd,bed->bce", vecs, vecs,
+                    preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        pd = -ip
+    else:
+        sq = jnp.sum(vecs * vecs, axis=-1)
+        pd = jnp.maximum(sq[:, :, None] - 2.0 * ip + sq[:, None, :], 0.0)
+
+    seedable_s = ~seedblk_s
+
+    def scan_step(j, carry):
+        kept, cnt = carry
+        dj = jax.lax.dynamic_slice_in_dim(d_s, j, 1, axis=1)       # [B, 1]
+        pdj = jax.lax.dynamic_slice_in_dim(pd, j, 1, axis=1)[:, 0]  # [B, C]
+        occluded = jnp.any(kept & (pdj < dj), axis=1)              # [B]
+        vj = jax.lax.dynamic_slice_in_dim(valid_s, j, 1, axis=1)[:, 0]
+        sj = jax.lax.dynamic_slice_in_dim(seedable_s, j, 1, axis=1)[:, 0]
+        seed_ok = (cnt > 0) | sj
+        keep = vj & ~occluded & (cnt < cap) & seed_ok              # [B]
+        kept = jax.lax.dynamic_update_slice_in_dim(
+            kept, keep[:, None], j, axis=1)
+        return kept, cnt + keep.astype(jnp.int32)
+
+    kept0 = jnp.zeros((B, C), jnp.bool_)
+    kept, cnt = jax.lax.fori_loop(0, C, scan_step,
+                                  (kept0, jnp.zeros((B,), jnp.int32)))
+
+    # order: kept candidates (sorted) first, then (if fill) valid non-kept
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    if fill:
+        key = jnp.where(kept, pos, jnp.where(valid_s, pos + C, 2 * C))
+    else:
+        key = jnp.where(kept, pos, 2 * C)
+    order_key, out_ids = jax.lax.sort((key, id_s), dimension=-1, num_keys=1)
+    out_ids = jnp.where(order_key[:, :cap] < 2 * C,
+                        out_ids[:, :cap], jnp.int32(n))
+    counts = jnp.sum(out_ids[:, :cap] < n, axis=1, dtype=jnp.int32)
+    return out_ids, counts
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array, base: jax.Array,
+                 metric: Metric = Metric.IP) -> jax.Array:
+    """distance(candidate[b, c], src[b]) for prune inputs; [B, C]."""
+    metric = Metric.parse(metric)
+    n = base.shape[0]
+    vecs = jnp.take(base, jnp.minimum(cand_ids, n - 1), axis=0)
+    ip = jnp.einsum("bcd,bd->bc", vecs, src_vecs,
+                    preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        d = -ip
+    else:
+        sq_c = jnp.sum(vecs * vecs, axis=-1)
+        sq_s = jnp.sum(src_vecs * src_vecs, axis=-1, keepdims=True)
+        d = jnp.maximum(sq_c - 2.0 * ip + sq_s, 0.0)
+    return jnp.where(cand_ids < n, d, _INF)

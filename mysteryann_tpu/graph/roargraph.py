@@ -1,0 +1,404 @@
+"""RoarGraph construction — batched, functional, TPU-first.
+
+Reproduces the behavior of the reference build
+(`BuildRoarGraph`/`LinkProjection`, reference src/index_bipartite.cpp:143-233,
+1043-1277) with a dense batched design instead of mutex-guarded pointer
+chasing:
+
+Phase A (projection, :1059-1097): each training query's kNN list (truncated
+to ``M_sq``) is projected onto its top-1 base point; the remaining list
+members, with distances measured *to that target*, pass the occlusion prune
+and become the target's out-edges. Queries sharing a target race in the
+reference (last writer wins, :1088-1091); here the lowest-index query wins,
+deterministically.
+
+Phase B (reverse edges, :1100-1104) + Phase C (degree repair, :1107-1136):
+for every forward edge u→v, v collects u as a reverse candidate; a node
+whose forward+reverse candidates exceed ``M_pjbp`` is re-pruned. The
+reference prunes incrementally at each overflowing insertion under a
+per-node mutex; here each node prunes once over its full candidate set —
+deterministic, and one batched device pass.
+
+Phase D (connectivity enhancement, :1183-1269): every base node greedy-
+searches the supply graph from the medoid entry point
+(SearchProjectionGraphInternal:1279-1350) with queue length ``L_pjpq``; the
+search pool is pruned (PruneProjectionBaseSearchCandidates:1846-1940 — no
+fill pass, seed must not already be a projection neighbor) into fresh
+supply out-edges; reverse supply edges are capped at ``2*M_pjbp`` inserts
+and overflow-pruned back to ``M_pjbp``
+(SupplyAddReverse:1352-1389 + PruneProjectionInternalReverseCandidates:
+1434-1525); finally up to ``2*M_pjbp`` novel supply edges are appended to
+each projection list (:1251-1269). Final degree ≤ ``2*M_pjbp``.
+
+Entry point: the medoid — argmin squared-L2 to the base centroid,
+regardless of metric (CalculateProjectionep:2004-2041).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mysteryann_tpu.graph.adjacency import PaddedGraph
+from mysteryann_tpu.graph.prune import batched_occlusion_prune, dists_to_src
+from mysteryann_tpu.ops.distances import Metric, prepare_vectors
+from mysteryann_tpu.search.beam import beam_search
+from mysteryann_tpu.utils.params import BuildConfig
+from mysteryann_tpu.utils.timers import Timer
+
+
+# --------------------------------------------------------------------------
+# index container + persistence
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RoarGraphIndex:
+    graph: PaddedGraph
+    metric: Metric
+    dim: int
+
+    def save(self, path: str) -> None:
+        """Reference-compatible projection graph file + JSON sidecar.
+
+        Binary layout identical to SaveProjectionGraph (reference
+        src/index_bipartite.cpp:2606-2619): ``[ep u32][npts u32]`` then per
+        node ``[deg u32][ids u32…]``.
+        """
+        save_projection_graph(path, self.graph)
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"metric": self.metric.value, "dim": self.dim,
+                       "max_degree": self.graph.max_degree}, f)
+
+    @classmethod
+    def load(cls, path: str, metric: Metric | str | None = None,
+             dim: int = 0) -> "RoarGraphIndex":
+        meta = {}
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
+        g = load_projection_graph(path, m_pad=meta.get("max_degree"))
+        m = Metric.parse(metric or meta.get("metric", "ip"))
+        return cls(graph=g, metric=m, dim=int(meta.get("dim", dim)))
+
+
+def save_projection_graph(path: str, g: PaddedGraph) -> None:
+    n = g.n_nodes
+    nb = g.neighbors
+    valid = nb < n
+    degs = valid.sum(axis=1).astype(np.uint32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<II", g.ep, n))
+        for i in range(n):
+            row = nb[i, valid[i]].astype(np.uint32)
+            f.write(struct.pack("<I", degs[i]))
+            row.tofile(f)
+
+
+def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph:
+    with open(path, "rb") as f:
+        ep, n = struct.unpack("<II", f.read(8))
+        payload = np.fromfile(f, dtype=np.uint32)
+    lists = []
+    off = 0
+    maxdeg = 1
+    for _ in range(n):
+        deg = int(payload[off]); off += 1
+        lists.append(payload[off:off + deg].astype(np.int32)); off += deg
+        maxdeg = max(maxdeg, deg)
+    if off != payload.size:
+        raise ValueError(f"{path}: trailing bytes in projection graph file")
+    m_pad = m_pad or maxdeg
+    nb = np.full((n, m_pad), n, np.int32)
+    for i, row in enumerate(lists):
+        nb[i, : len(row)] = row[:m_pad]
+    return PaddedGraph(neighbors=nb, ep=int(ep))
+
+
+# --------------------------------------------------------------------------
+# building blocks
+# --------------------------------------------------------------------------
+
+
+def compute_medoid(base: jax.Array) -> int:
+    """argmin_i ||base_i - centroid||² (reference CalculateProjectionep)."""
+    c = jnp.mean(base, axis=0, keepdims=True)
+    d = (jnp.sum(base * base, axis=1) - 2.0 * (base @ c[0])
+         + jnp.sum(c * c))
+    return int(jnp.argmin(d))
+
+
+def _aggregate_reverse(
+    e_src: np.ndarray, e_dst: np.ndarray, e_dist: np.ndarray,
+    n: int, r_max: int, budget: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Group reverse edges by destination, closest-first, into [n, r_max].
+
+    ``budget`` (per-destination max accepted, e.g. ``2M - own_degree``)
+    emulates the reference's bounded push_back before overflow pruning.
+    Returns sentinel(n)-padded int32.
+    """
+    order = np.lexsort((e_dist, e_dst))
+    ds, ss = e_dst[order], e_src[order]
+    counts = np.bincount(ds, minlength=n)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    rank = np.arange(ds.size, dtype=np.int64) - offsets[ds]
+    lim = np.full(n, r_max, np.int64) if budget is None else np.minimum(budget, r_max)
+    keep = rank < lim[ds]
+    out = np.full((n, r_max), n, np.int32)
+    out[ds[keep], rank[keep]] = ss[keep]
+    return out
+
+
+def _batched_prune_rows(
+    base_dev: jax.Array,
+    node_ids: np.ndarray,        # [K] rows to prune
+    cand: np.ndarray,            # [K, C] candidate ids (sentinel n)
+    cap: int,
+    metric: Metric,
+    batch: int,
+    fill: bool,
+    not_seedable: Optional[np.ndarray] = None,  # [K, C] bool
+) -> np.ndarray:
+    """Run the occlusion prune over row batches; returns [K, cap] ids."""
+    n = base_dev.shape[0]
+    k_rows = node_ids.shape[0]
+    out = np.full((k_rows, cap), n, np.int32)
+    batch = max(1, min(batch, k_rows))
+    for s in range(0, k_rows, batch):
+        e = min(s + batch, k_rows)
+        ids_b = node_ids[s:e]
+        cand_b = cand[s:e]
+        ns_b = not_seedable[s:e] if not_seedable is not None else None
+        if e - s < batch:  # pad to the compiled shape
+            pad = batch - (e - s)
+            ids_b = np.concatenate([ids_b, np.zeros(pad, ids_b.dtype)])
+            cand_b = np.concatenate(
+                [cand_b, np.full((pad, cand_b.shape[1]), n, cand_b.dtype)])
+            if ns_b is not None:
+                ns_b = np.concatenate(
+                    [ns_b, np.zeros((pad, ns_b.shape[1]), bool)])
+        ids_j = jnp.asarray(ids_b, jnp.int32)
+        cand_j = jnp.asarray(cand_b, jnp.int32)
+        src_vecs = jnp.take(base_dev, ids_j, axis=0)
+        cd = dists_to_src(src_vecs, cand_j, base_dev, metric)
+        pruned, _ = batched_occlusion_prune(
+            src_vecs, ids_j, cand_j, cd, base_dev, cap=cap, metric=metric,
+            fill=fill,
+            not_seedable=None if ns_b is None else jnp.asarray(ns_b),
+        )
+        out[s:e] = np.asarray(pruned)[: e - s]
+    return out
+
+
+def _merge_forward_reverse(
+    base_dev: jax.Array,
+    own: np.ndarray,        # [N, A] current lists (sentinel-padded)
+    rev: np.ndarray,        # [N, R] reverse candidates (sentinel-padded)
+    cap: int,
+    metric: Metric,
+    batch: int,
+    fill: bool,
+    prune_threshold: Optional[int] = None,
+) -> np.ndarray:
+    """Per node: own ∪ reverse; prune to ``cap`` when above threshold.
+
+    Nodes at or under the threshold keep own-then-reverse order (reference
+    push_back without prune); overfull nodes go through the batched
+    occlusion prune.
+    """
+    n = own.shape[0]
+    thresh = cap if prune_threshold is None else prune_threshold
+    # drop reverse entries already present in own (own rows are dup-free by
+    # prune construction); chunked to bound the [K, R, A] broadcast
+    rev = rev.copy()
+    chunk = max(1, (1 << 27) // max(1, rev.shape[1] * own.shape[1]))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        dup = (rev[s:e, :, None] == own[s:e, None, :]).any(axis=2)
+        rev[s:e][dup] = n
+    cand = np.concatenate([own, rev], axis=1)
+    total = (cand < n).sum(axis=1)
+    out = np.full((n, cap), n, np.int32)
+
+    # fast path (≤ threshold): own-then-reverse order, left-compacted —
+    # matches the reference's push_back-without-prune insertion
+    easy = total <= thresh
+    if easy.any():
+        rows = np.nonzero(easy)[0]
+        c = cand[rows]
+        order = np.argsort(c == n, axis=1, kind="stable")
+        out[rows] = np.take_along_axis(c, order, axis=1)[:, :cap]
+    if (~easy).any():
+        rows = np.nonzero(~easy)[0]
+        pruned = _batched_prune_rows(
+            base_dev, rows.astype(np.int32), cand[rows], cap, metric,
+            batch, fill)
+        out[rows] = pruned
+    return out
+
+
+# --------------------------------------------------------------------------
+# the build
+# --------------------------------------------------------------------------
+
+
+def build_roargraph(
+    base: np.ndarray,
+    train_queries: np.ndarray,
+    learn_base_knn: np.ndarray,
+    cfg: BuildConfig = BuildConfig(),
+    verbose: bool = True,
+) -> RoarGraphIndex:
+    """Build the RoarGraph projection index.
+
+    `learn_base_knn` is the exact train-query→base kNN ([Nq, K] ids,
+    K ≥ cfg.M_sq) — produce it with `ops.knn.exact_knn` or load the
+    reference's file via `io.read_knn_ibin`.
+    """
+    metric = Metric.parse(cfg.metric)
+    M = cfg.M_pjbp
+    n = base.shape[0]
+    nq = train_queries.shape[0]
+    log = print if verbose else (lambda *a, **k: None)
+
+    base_dev = prepare_vectors(base, metric)  # device, normalized if cosine
+    knn = np.asarray(learn_base_knn[:, : cfg.M_sq], np.int64)
+
+    with Timer("medoid") as t_med:
+        ep = compute_medoid(base_dev)
+    log(f"projection ep: {ep} ({t_med.elapsed:.2f}s)")
+
+    # ---- Phase A: projection ------------------------------------------------
+    with Timer("phaseA") as t_a:
+        tgt_all = knn[:, 0]
+        # deterministic target-collision resolution: first query wins
+        winners_tgt, first_idx = np.unique(tgt_all, return_index=True)
+        cand = knn[first_idx].astype(np.int32)              # [U, M_sq]
+        cand = np.where(cand == winners_tgt[:, None], n, cand)
+        forward = np.full((n, M), n, np.int32)
+        forward[winners_tgt] = _batched_prune_rows(
+            base_dev, winners_tgt.astype(np.int32), cand, M, metric,
+            cfg.query_batch, fill=True)
+    log(f"phase A: {winners_tgt.size}/{nq} unique targets ({t_a.elapsed:.2f}s)")
+
+    # ---- Phase B+C: reverse edges + degree repair ---------------------------
+    with Timer("phaseBC") as t_bc:
+        f_valid = forward < n
+        e_src = np.repeat(np.arange(n, dtype=np.int64), M)[f_valid.ravel()]
+        e_dst = forward.ravel().astype(np.int64)[f_valid.ravel()]
+        # edge distances for closest-first reverse capping
+        e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
+        rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=3 * M)
+        projection = _merge_forward_reverse(
+            base_dev, forward, rev, cap=M, metric=metric,
+            batch=cfg.query_batch, fill=True)
+        del forward, rev
+    pg = PaddedGraph(neighbors=projection, ep=ep)
+    st = pg.degree_stats()
+    log(f"phase B/C: degree avg {st['avg']:.1f} max {st['max']} "
+        f"zero {st['zero']} ({t_bc.elapsed:.2f}s)")
+
+    # ---- Phase D: connectivity enhancement ----------------------------------
+    with Timer("phaseD") as t_d:
+        supply = _connectivity_pass(base_dev, projection, ep, cfg, metric, log)
+        # merge novel supply edges into projection (reference :1251-1269)
+        final = _append_novel(projection, supply, cap_add=2 * M, n=n)
+    g = PaddedGraph(neighbors=final, ep=ep)
+    st = g.degree_stats()
+    log(f"phase D: final degree avg {st['avg']:.1f} max {st['max']} "
+        f"zero {st['zero']} ({t_d.elapsed:.2f}s)")
+
+    return RoarGraphIndex(graph=g, metric=metric, dim=base.shape[1])
+
+
+def _edge_dists(base_dev, e_src, e_dst, metric, chunk: int = 1 << 20):
+    """Distances for an edge list, chunked through the device."""
+    out = np.empty(e_src.size, np.float32)
+    for s in range(0, e_src.size, chunk):
+        e = min(s + chunk, e_src.size)
+        a = jnp.take(base_dev, jnp.asarray(e_src[s:e]), axis=0)
+        b = jnp.take(base_dev, jnp.asarray(e_dst[s:e]), axis=0)
+        ip = jnp.sum(a * b, axis=-1)
+        if metric in (Metric.IP, Metric.COSINE):
+            d = -ip
+        else:
+            d = jnp.sum((a - b) ** 2, axis=-1)
+        out[s:e] = np.asarray(d)
+    return out
+
+
+def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
+    """Phase D: per-node search + prune + reverse supply edges."""
+    n, M = projection.shape[0], cfg.M_pjbp
+    L = cfg.L_pjpq
+    sb = max(8, min(cfg.search_batch, n))
+    supply_graph = jnp.asarray(projection)  # frozen snapshot for searches
+    eps = jnp.asarray([ep], jnp.int32)
+
+    supply_new = np.full((n, M), n, np.int32)
+    prune_batch = max(8, min(cfg.search_batch, 256))
+    for s in range(0, n, sb):
+        e = min(s + sb, n)
+        q = np.asarray(base_dev[s:e])
+        if e - s < sb:
+            q = np.concatenate([q, np.zeros((sb - (e - s), q.shape[1]),
+                                            np.float32)])
+        r = beam_search(base_dev, supply_graph, eps, jnp.asarray(q),
+                        k=L, L=L, metric=metric, expand=1)
+        pool = np.asarray(r.ids)[: e - s]                   # [b, L]
+        node_ids = np.arange(s, e, dtype=np.int32)
+        # seed must not be an existing projection neighbor (:1861-1864)
+        ns = _membership(pool, projection[s:e], n)
+        supply_new[s:e] = _batched_prune_rows(
+            base_dev, node_ids, pool, M, metric, prune_batch, fill=False,
+            not_seedable=ns)
+        if s // sb % 8 == 0:
+            log(f"\r{100.0 * e / n:.1f}% of connectivity search", end="")
+    log("")
+
+    # reverse supply edges: budget 2M - own, overflow-prune to M (no fill)
+    own_deg = (supply_new < n).sum(axis=1).astype(np.int64)
+    sv = supply_new < n
+    e_src = np.repeat(np.arange(n, dtype=np.int64), M)[sv.ravel()]
+    e_dst = supply_new.ravel().astype(np.int64)[sv.ravel()]
+    e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
+    budget = np.maximum(2 * M - own_deg, 0)
+    rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=2 * M,
+                             budget=budget)
+    supply_final = _merge_forward_reverse(
+        base_dev, supply_new, rev, cap=M, metric=metric,
+        batch=cfg.query_batch, fill=False, prune_threshold=M)
+    return supply_final
+
+
+def _membership(pool: np.ndarray, rows: np.ndarray, n: int) -> np.ndarray:
+    """pool[b, l] ∈ rows[b, :] — bool [B, L] (host, small batches)."""
+    return (pool[:, :, None] == rows[:, None, :]).any(axis=2) & (pool < n)
+
+
+def _append_novel(projection: np.ndarray, supply: np.ndarray, cap_add: int,
+                  n: int) -> np.ndarray:
+    """Append up to cap_add supply edges not already in projection."""
+    N, M = projection.shape
+    width = M + min(cap_add, supply.shape[1])
+    novel = supply.copy()
+    chunk = max(1, (1 << 27) // max(1, supply.shape[1] * M))
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        dup = (supply[s:e, :, None] == projection[s:e, None, :]).any(axis=2)
+        novel[s:e][dup] = n
+    novel[novel >= n] = n
+    cand = np.concatenate([projection, novel[:, :width - M]], axis=1)
+    # projection rows are left-compacted; one stable compaction appends the
+    # novel entries right after each row's own degree
+    order = np.argsort(cand == n, axis=1, kind="stable")
+    return np.take_along_axis(cand, order, axis=1).astype(np.int32)

@@ -1,0 +1,266 @@
+"""Batched lockstep beam search over a padded graph.
+
+TPU-native recast of the reference's one-query-at-a-time best-first loop
+(`SearchRoarGraph`, reference src/index_bipartite.cpp:2311-2420):
+
+- the sorted fixed-capacity ``NeighborPriorityQueue`` (reference
+  neighbor.h:150-192) becomes a sorted candidate pool ``[B, L]`` carried
+  through a ``lax.while_loop``, merged each step with ``jax.lax.sort``;
+- the epoch-tagged ``VisitedListPool`` (reference
+  include/visited_list_pool.h) becomes a per-query bitmask
+  ``uint32 [B, ceil(N/32)]`` in HBM, updated with duplicate-safe
+  scatter-OR;
+- ``closest_unexpanded()`` becomes an argmax over the unexpanded mask of
+  the sorted pool (first True = smallest distance);
+- one loop step expands `expand` nodes for *every* query in the batch —
+  neighbor-row gather, visited check, vector gather, batched distance,
+  sorted merge;
+- per-query (cmps, hops) counters are carried to match the reference's
+  reporting (src/index_bipartite.cpp:2354-2419).
+
+Termination matches the reference: a query is done when every entry of its
+pool is expanded; the loop runs while any query is live, with a static
+iteration cap for XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mysteryann_tpu.ops.distances import Metric
+
+_INF = jnp.float32(jnp.inf)
+
+
+class SearchResult(NamedTuple):
+    ids: jax.Array     # int32 [B, k]
+    dists: jax.Array   # f32   [B, k]
+    cmps: jax.Array    # int32 [B] — distance computations (reference "cmps")
+    hops: jax.Array    # int32 [B] — node expansions (reference "hops")
+
+
+def _batch_dist(q: jax.Array, vecs: jax.Array, metric: Metric,
+                vec_sqnorm: jax.Array | None = None) -> jax.Array:
+    """Distances query[b] → vecs[b, m]: [B, d] x [B, M, d] -> [B, M]."""
+    ip = jnp.einsum("bd,bmd->bm", q, vecs, preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        return -ip
+    qn = jnp.sum(q * q, axis=-1, keepdims=True)
+    vn = jnp.sum(vecs * vecs, axis=-1) if vec_sqnorm is None else vec_sqnorm
+    return jnp.maximum(qn - 2.0 * ip + vn, 0.0)
+
+
+def _scatter_or_bits(visited: jax.Array, words: jax.Array, bits: jax.Array,
+                     active: jax.Array) -> jax.Array:
+    """OR `bits` into `visited[b, words[b, m]]`, duplicate-word safe.
+
+    Distinct neighbors falling in the same visited word carry distinct bit
+    positions, so within one row the combined contribution for a word is the
+    *sum* of its members' bits == their OR. After combining, duplicate
+    scatter indices write identical values, making `.at[].set` well-defined.
+    O(M^2) combine — M is the graph degree (~32-64), cheap on the VPU.
+    """
+    bits = jnp.where(active, bits, jnp.uint32(0))
+    same_word = words[:, :, None] == words[:, None, :]          # [B, M, M]
+    combined = jnp.sum(
+        jnp.where(same_word, bits[:, None, :], jnp.uint32(0)), axis=2,
+        dtype=jnp.uint32,
+    )                                                            # [B, M]
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, words.shape, 0)
+    new_vals = visited[b_idx, words] | combined
+    return visited.at[b_idx, words].set(new_vals, mode="drop")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "L", "metric", "max_hops", "expand", "two_hop"),
+)
+def beam_search(
+    base: jax.Array,            # f32 [N, d] (metric-preprocessed)
+    neighbors: jax.Array,       # int32 [N(+Nq), M_pad], sentinel >= n_total
+    eps: jax.Array,             # int32 [E] entry point ids (shared by batch)
+    queries: jax.Array,         # f32 [B, d]
+    k: int,
+    L: int,
+    metric: Metric = Metric.IP,
+    base_sqnorm: jax.Array | None = None,
+    max_hops: int = 0,
+    expand: int = 1,
+    two_hop: bool = False,
+    query_vecs_for_graph: jax.Array | None = None,
+) -> SearchResult:
+    """Best-first beam search of `queries` over the padded graph.
+
+    `two_hop=True` reproduces the bipartite search pattern (reference
+    src/index_bipartite.cpp:282-356): pool entries are base nodes, and an
+    expansion visits neighbors-of-neighbors (base→query→base). In that mode
+    `neighbors` must cover base+query nodes (global id space) and
+    `query_vecs_for_graph` is unused (query nodes are never scored).
+    """
+    metric = Metric.parse(metric)
+    if k > L:
+        raise ValueError(f"k ({k}) must be <= L ({L})")
+    n_base, d = base.shape
+    n_total = neighbors.shape[0]
+    M = neighbors.shape[1]
+    B = queries.shape[0]
+    E = eps.shape[0]
+    if max_hops <= 0:
+        max_hops = 4 * L + 32
+    n_words = -(-n_base // 32)
+
+    if base_sqnorm is None and metric == Metric.L2:
+        base_sqnorm = jnp.sum(base * base, axis=-1)
+
+    def gather_vecs(ids):  # ids int32 [...], clamped gather
+        return jnp.take(base, jnp.minimum(ids, n_base - 1), axis=0)
+
+    # ---- seed pool with entry points -------------------------------------
+    ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
+    ep_d = _batch_dist(queries, gather_vecs(ep_ids), metric)
+    pad = L - E
+    assert pad >= 0, f"L={L} must be >= number of entry points E={E}"
+    cand_ids = jnp.concatenate(
+        [ep_ids, jnp.full((B, pad), n_total, jnp.int32)], axis=1)
+    cand_d = jnp.concatenate([ep_d, jnp.full((B, pad), _INF)], axis=1)
+    cand_exp = jnp.concatenate(
+        [jnp.zeros((B, E), jnp.bool_), jnp.ones((B, pad), jnp.bool_)], axis=1)
+    cand_d, cand_ids, cand_exp = jax.lax.sort(
+        (cand_d, cand_ids, cand_exp), dimension=-1, num_keys=2)
+
+    visited = jnp.zeros((B, n_words), jnp.uint32)
+    ep_words = ep_ids >> 5
+    ep_bits = (jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32))
+    visited = _scatter_or_bits(visited, ep_words, ep_bits, ep_ids < n_base)
+
+    cmps0 = jnp.full((B,), E, jnp.int32)
+    hops0 = jnp.zeros((B,), jnp.int32)
+
+    fanout = (M * M) if two_hop else (M * expand)
+
+    def cond(state):
+        _, _, cand_exp, _, _, _, it = state
+        live = jnp.any(jnp.logical_not(cand_exp))
+        return jnp.logical_and(live, it < max_hops)
+
+    def body(state):
+        cand_ids, cand_d, cand_exp, visited, cmps, hops, it = state
+
+        # -- pick the `expand` closest unexpanded entries per query --------
+        unexp = jnp.logical_not(cand_exp)                         # [B, L]
+        has = jnp.any(unexp, axis=1)                              # [B]
+        if expand == 1 and not two_hop:
+            sel = jnp.argmax(unexp, axis=1)[:, None]              # [B, 1]
+            sel_valid = has[:, None]
+        else:
+            # positions of first `expand` unexpanded entries (pool sorted)
+            rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1) - 1  # [B, L]
+            e = 1 if two_hop else expand
+            onrank = unexp & (rank < e)
+            nsel = jnp.sum(onrank, axis=1)                        # [B]
+            key = jnp.where(onrank,
+                            jax.lax.broadcasted_iota(jnp.int32, unexp.shape, 1),
+                            jnp.int32(L + 1))
+            sel = jax.lax.top_k(-key, e)[0] * -1                  # [B, e]
+            sel_valid = sel <= L
+            sel = jnp.minimum(sel, L - 1)
+            sel_valid = sel_valid & (jax.lax.broadcasted_iota(
+                jnp.int32, sel.shape, 1) < nsel[:, None])
+
+        b_iota = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+        cur = jnp.where(sel_valid, cand_ids[b_iota, sel], n_total)  # [B, e]
+        sel_set = jnp.where(sel_valid, sel, L)  # L = OOB → dropped
+        cand_exp = cand_exp.at[b_iota, sel_set].set(True, mode="drop")
+
+        # -- gather neighbor rows ------------------------------------------
+        cur_c = jnp.minimum(cur, n_total - 1)
+        nbrs = jnp.take(neighbors, cur_c, axis=0)                 # [B, e, M]
+        nbrs = jnp.where((cur < n_total)[:, :, None], nbrs, n_total)
+        if two_hop:
+            # expand neighbors-of-neighbors: base→query→base
+            n1 = jnp.minimum(nbrs, n_total - 1)
+            nbrs2 = jnp.take(neighbors, n1.reshape(B, -1), axis=0)  # [B, e*M, M]
+            nbrs2 = jnp.where(
+                (nbrs < n_total).reshape(B, -1, 1), nbrs2, n_total)
+            nbrs = nbrs2.reshape(B, -1)                           # [B, e*M*M]
+        else:
+            nbrs = nbrs.reshape(B, -1)                            # [B, e*M]
+
+        # -- visited-bit check + mark --------------------------------------
+        in_base = nbrs < n_base   # only base nodes are scored/inserted
+        nb_c = jnp.where(in_base, nbrs, 0)
+        words = nb_c >> 5
+        bits = (jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32))
+        seen = (visited[jax.lax.broadcasted_iota(jnp.int32, words.shape, 0),
+                        words] & bits) != 0
+        # intra-step duplicates (same id appearing twice in this step's
+        # fan-out) must be reduced to one representative: duplicates would
+        # corrupt the sum-as-OR trick in _scatter_or_bits and insert twice
+        # into the pool. Sort-based O(F log F) dedup.
+        f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
+        sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1, num_keys=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
+        fb_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 0)
+        first_occ = jnp.zeros_like(in_base).at[fb_iota, si].set(~dup_sorted)
+        fresh = in_base & ~seen & first_occ                       # [B, F]
+        visited = _scatter_or_bits(visited, words, bits, fresh)
+
+        # -- distances for fresh neighbors ---------------------------------
+        vecs = gather_vecs(nb_c)                                  # [B, F, d]
+        sq = (jnp.take(base_sqnorm, jnp.minimum(nb_c, n_base - 1), axis=0)
+              if base_sqnorm is not None else None)
+        nd = _batch_dist(queries, vecs, metric, sq)
+        nd = jnp.where(fresh, nd, _INF)
+        new_ids = jnp.where(fresh, nbrs, n_total)
+        cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+        hops = hops + jnp.sum(sel_valid, axis=1, dtype=jnp.int32)
+
+        # -- sorted merge into the pool ------------------------------------
+        all_d = jnp.concatenate([cand_d, nd], axis=1)
+        all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
+        all_e = jnp.concatenate(
+            [cand_exp, jnp.ones((B, fanout), jnp.bool_) & ~fresh], axis=1)
+        all_d, all_i, all_e = jax.lax.sort(
+            (all_d, all_i, all_e), dimension=-1, num_keys=2)
+        return (all_i[:, :L], all_d[:, :L], all_e[:, :L],
+                visited, cmps, hops, it + 1)
+
+    state = (cand_ids, cand_d, cand_exp, visited, cmps0, hops0,
+             jnp.int32(0))
+    cand_ids, cand_d, cand_exp, visited, cmps, hops, _ = jax.lax.while_loop(
+        cond, body, state)
+
+    return SearchResult(ids=cand_ids[:, :k], dists=cand_d[:, :k],
+                        cmps=cmps, hops=hops)
+
+
+def search_batched(base, neighbors, eps, queries, k, L, metric=Metric.IP,
+                   query_batch: int = 1024, **kw) -> Tuple:
+    """Host wrapper: stream query batches of a fixed shape through the jit."""
+    import numpy as np
+
+    metric = Metric.parse(metric)
+    nq = queries.shape[0]
+    out_i = np.empty((nq, k), np.int32)
+    out_d = np.empty((nq, k), np.float32)
+    out_c = np.empty((nq,), np.int32)
+    out_h = np.empty((nq,), np.int32)
+    qb = min(query_batch, nq)
+    for s in range(0, nq, qb):
+        e = min(s + qb, nq)
+        q = queries[s:e]
+        if e - s < qb:
+            q = np.concatenate(
+                [q, np.zeros((qb - (e - s), q.shape[1]), np.float32)], axis=0)
+        r = beam_search(base, neighbors, eps, jnp.asarray(q), k=k, L=L,
+                        metric=metric, **kw)
+        out_i[s:e] = np.asarray(r.ids)[: e - s]
+        out_d[s:e] = np.asarray(r.dists)[: e - s]
+        out_c[s:e] = np.asarray(r.cmps)[: e - s]
+        out_h[s:e] = np.asarray(r.hops)[: e - s]
+    return out_i, out_d, out_c, out_h

@@ -1,0 +1,123 @@
+"""Occlusion prune unit tests: invariants + agreement with a numpy oracle.
+
+The oracle replicates the reference prune semantics
+(PruneBiSearchBaseGetBase, reference src/index_bipartite.cpp:1612-1694)
+over the *device-computed* distances, so the test pins the sequential
+scan/sort/fill logic rather than matmul rounding (covered in
+test_distances.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mysteryann_tpu.graph.prune import batched_occlusion_prune, dists_to_src
+from mysteryann_tpu.ops.distances import Metric, pairwise_dist
+
+
+def _np_prune_from_dists(ids, d_src, pd, n, src_id, cap, fill=True,
+                         not_seedable=()):
+    """ids [C], d_src [C] (dist to src), pd [C, C] pairwise cand dists."""
+    items = []
+    seen = set()
+    for j in range(len(ids)):
+        c = int(ids[j])
+        if c >= n or c < 0 or c == src_id or c in seen:
+            continue
+        seen.add(c)
+        items.append((float(d_src[j]), c, j))
+    items.sort()
+    result = []   # (id, orig_col)
+    for d, c, j in items:
+        if len(result) >= cap:
+            break
+        if not result and c in not_seedable:
+            continue
+        occ = any(float(pd[j, t_j]) < d for _, t_j in result)
+        if not occ:
+            result.append((c, j))
+    out = [c for c, _ in result]
+    if fill:
+        for d, c, j in items:
+            if len(out) >= cap:
+                break
+            if c not in out:
+                out.append(c)
+    return out
+
+
+def _device_dists(src_vecs, cand, base, metric):
+    cd = np.asarray(dists_to_src(jnp.array(src_vecs), jnp.array(cand),
+                                 jnp.array(base), metric))
+    B, C = cand.shape
+    pd = np.empty((B, C, C), np.float32)
+    for b in range(B):
+        vecs = base[np.minimum(cand[b], base.shape[0] - 1)]
+        pd[b] = np.asarray(pairwise_dist(jnp.array(vecs), jnp.array(vecs),
+                                         metric))
+    return cd, pd
+
+
+def _check(rng, metric, fill, B=8, C=30, cap=8, n=200, d=16):
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    src_ids = rng.integers(0, n, B).astype(np.int32)
+    cand = rng.integers(0, n, (B, C)).astype(np.int32)
+    src_vecs = base[src_ids]
+    cd, pd = _device_dists(src_vecs, cand, base, metric)
+    out, counts = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array(src_ids), jnp.array(cand),
+        jnp.array(cd), jnp.array(base), cap=cap, metric=metric, fill=fill)
+    out = np.asarray(out)
+    for b in range(B):
+        want = _np_prune_from_dists(cand[b], cd[b], pd[b], n,
+                                    int(src_ids[b]), cap, fill=fill)
+        got = [int(x) for x in out[b] if x < n]
+        assert got == want, f"row {b}: {got} != {want}"
+
+
+def test_prune_matches_oracle_ip(rng):
+    _check(rng, Metric.IP, fill=True)
+
+
+def test_prune_matches_oracle_l2_no_fill(rng):
+    _check(rng, Metric.L2, fill=False)
+
+
+def test_prune_not_seedable(rng):
+    n, d, C, cap = 100, 8, 20, 5
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    src = np.int32(0)
+    cand = np.arange(1, C + 1, dtype=np.int32)[None, :]
+    src_vecs = base[[0]]
+    cd, pd = _device_dists(src_vecs, cand, base, Metric.L2)
+    closest = int(cand[0, np.argmin(cd[0])])
+    ns = (cand == closest)
+    out, _ = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array([src]), jnp.array(cand),
+        jnp.array(cd), jnp.array(base), cap=cap, metric=Metric.L2,
+        fill=False, not_seedable=jnp.array(ns))
+    got = [int(x) for x in np.asarray(out)[0] if x < n]
+    want = _np_prune_from_dists(cand[0], cd[0], pd[0], n, 0, cap,
+                                fill=False, not_seedable={closest})
+    assert got == want
+    assert got[0] != closest
+
+
+def test_prune_degree_bound_and_dedup(rng):
+    n, d, B, cap = 300, 12, 4, 10
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    src_ids = np.zeros(B, np.int32)
+    cand = np.tile(np.array([[5, 5, 7, 0, n, 9, 7, 11, 13, 15, 17, 19]],
+                            np.int32), (B, 1))
+    src_vecs = base[src_ids]
+    cd = dists_to_src(jnp.array(src_vecs), jnp.array(cand), jnp.array(base),
+                      Metric.IP)
+    out, counts = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array(src_ids), jnp.array(cand), cd,
+        jnp.array(base), cap=cap, metric=Metric.IP, fill=True)
+    out = np.asarray(out)
+    for b in range(B):
+        got = [x for x in out[b] if x < n]
+        assert len(got) == len(set(got))          # dedup
+        assert 0 not in got                        # src excluded
+        assert len(got) <= cap
+        assert set(got) <= {5, 7, 9, 11, 13, 15, 17, 19}

@@ -1,0 +1,74 @@
+"""End-to-end RoarGraph build + search on synthetic cross-modal data."""
+
+import numpy as np
+import pytest
+
+from mysteryann_tpu.io import make_cross_modal
+from mysteryann_tpu.ops import exact_knn
+from mysteryann_tpu.graph import build_roargraph, RoarGraphIndex
+from mysteryann_tpu.search import Searcher
+from mysteryann_tpu.utils.params import BuildConfig
+from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
+
+
+@pytest.fixture(scope="module")
+def built():
+    base, train_q = make_cross_modal(4000, 1500, 48, metric="ip", seed=11)
+    _, eval_q = make_cross_modal(10, 300, 48, metric="ip", seed=99)
+    _, knn = exact_knn(train_q, base, k=32, metric="ip", precision="highest")
+    cfg = BuildConfig(M_sq=32, M_pjbp=12, L_pjpq=64, metric="ip",
+                      query_batch=512, search_batch=512)
+    index = build_roargraph(base, train_q, knn, cfg, verbose=False)
+    gt_d, gt_i = exact_knn(eval_q, base, k=10, metric="ip",
+                           precision="highest")
+    return base, eval_q, index, gt_i, gt_d
+
+
+def test_graph_invariants(built):
+    base, _, index, _, _ = built
+    g = index.graph
+    g.validate()  # no self-edges, no dups, ids in range
+    st = g.degree_stats()
+    assert st["max"] <= 2 * 12
+    assert st["zero"] == 0, f"{st['zero']} zero-degree nodes"
+    assert st["avg"] >= 6
+
+
+def test_search_recall(built):
+    base, eval_q, index, gt_i, gt_d = built
+    s = Searcher(index, base)
+    ids, dists, cmps, hops = s.search(eval_q, k=10, L=128, query_batch=300)
+    rec = compute_recall(ids, gt_i, 10)
+    assert rec > 0.9, f"recall@10 = {rec}"
+    assert np.all(cmps > 0) and np.all(hops > 0)
+    rderr = compute_rderr(dists, gt_d, 10, "ip")
+    assert rderr < 0.2
+
+
+def test_recall_improves_with_L(built):
+    base, eval_q, index, gt_i, _ = built
+    s = Searcher(index, base)
+    recs = []
+    for L in (16, 64, 256):
+        ids, *_ = s.search(eval_q, k=10, L=L, query_batch=300)
+        recs.append(compute_recall(ids, gt_i, 10))
+    assert recs[0] <= recs[1] + 0.02 and recs[1] <= recs[2] + 0.02
+    assert recs[-1] > 0.93, f"recalls {recs}"
+
+
+def test_save_load_roundtrip(built, tmp_path):
+    base, eval_q, index, gt_i, _ = built
+    p = str(tmp_path / "proj.index")
+    index.save(p)
+    loaded = RoarGraphIndex.load(p)
+    assert loaded.graph.ep == index.graph.ep
+    assert loaded.metric == index.metric
+    # same edge sets (padding width may differ)
+    n = index.graph.n_nodes
+    for i in range(0, n, 997):
+        a = set(x for x in index.graph.neighbors[i] if x < n)
+        b = set(x for x in loaded.graph.neighbors[i] if x < n)
+        assert a == b
+    s = Searcher(loaded, base)
+    ids, *_ = s.search(eval_q, k=10, L=128, query_batch=300)
+    assert compute_recall(ids, gt_i, 10) > 0.9
