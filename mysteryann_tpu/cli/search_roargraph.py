@@ -1,0 +1,58 @@
+"""RoarGraph search/eval CLI — counterpart of the reference search driver
+(reference tests/test_search_roargraph.cpp): load base + index + queries +
+GT, sweep L_pq, report QPS / avg cmps / latency / recall@k / rderr /
+avg hops per row, optionally appending CSV
+(schema: tests/test_search_roargraph.cpp:185-188, 233-236)."""
+
+from __future__ import annotations
+
+import argparse
+
+from mysteryann_tpu.cli.common import (
+    add_common_search_flags,
+    load_vectors,
+    result_header,
+    result_row,
+    write_csv,
+)
+from mysteryann_tpu.graph import RoarGraphIndex
+from mysteryann_tpu.io import read_gt_with_dist
+from mysteryann_tpu.search import Searcher
+from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_search_flags(p)
+    p.add_argument("--projection_index_save_path", required=True)
+    args = p.parse_args(argv)
+
+    base = load_vectors(args.base_data_path)
+    queries = load_vectors(args.query_path)
+    gt_ids, gt_dists = read_gt_with_dist(args.gt_path)
+    index = RoarGraphIndex.load(args.projection_index_save_path,
+                                metric=args.dist or None,
+                                dim=base.shape[1])
+    searcher = Searcher(index, base)
+    print(f"base {base.shape}, queries {queries.shape}, "
+          f"graph degree avg {index.graph.degree_stats()['avg']:.1f}, "
+          f"metric {index.metric.value}")
+    print(result_header())
+    rows = []
+    for L in args.L_pq:
+        if L < args.k:
+            continue
+        r = searcher.benchmark(queries, k=args.k, L=L,
+                               query_batch=args.query_batch)
+        r["recall"] = compute_recall(r["ids"], gt_ids, args.k)
+        r["rderr"] = compute_rderr(r["dists"], gt_dists, args.k, index.metric)
+        print(result_row(r))
+        rows.append(r)
+    if args.csv_path:
+        write_csv(args.csv_path, rows)
+        print(f"appended {len(rows)} rows to {args.csv_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,188 @@
+"""Bipartite index variant (NeurIPS'23 OOD-track style).
+
+Reproduces the reference's `BuildBipartite`/`qbaseNNbipartite`
+(reference src/index_bipartite.cpp:42-141, 235-280) and two-hop
+`SearchBipartiteGraph` (:282-356):
+
+- node id space is global: bases ``0..N-1``, training queries ``N..N+Nq-1``
+  (reference index_bipartite.h:140-150);
+- each query node gets edges to its kNN bases (list truncated to
+  ``M_pjbp``) *excluding* the top-1 (:264-269);
+- only the top-1 base gets a reverse edge back to the query (:270-273) —
+  base in-degree is unbounded in the reference; here base rows are padded
+  to the observed max (or an optional cap, closest queries kept);
+- search seeds 10 random base points and expands two hops per pop
+  (base→query→base, :291-294, :324-341).
+
+Persistence matches the reference bipartite Save/Load format
+(:2045-2071): ``[total_pts u32]`` then per node ``[deg u32][ids…]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mysteryann_tpu.ops.distances import Metric, prepare_vectors
+from mysteryann_tpu.search.beam import beam_search
+from mysteryann_tpu.utils.params import BuildConfig
+
+
+@dataclasses.dataclass
+class BipartiteIndex:
+    neighbors: np.ndarray   # int32 [N+Nq, W], sentinel = N+Nq
+    n_base: int
+    metric: Metric
+    dim: int
+
+    @property
+    def n_total(self) -> int:
+        return self.neighbors.shape[0]
+
+    def save(self, path: str) -> None:
+        n_total = self.n_total
+        nb = self.neighbors
+        valid = nb < n_total
+        with open(path, "wb") as f:
+            f.write(struct.pack("<I", n_total))
+            for i in range(n_total):
+                row = nb[i, valid[i]].astype(np.uint32)
+                f.write(struct.pack("<I", row.size))
+                row.tofile(f)
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"metric": self.metric.value, "dim": self.dim,
+                       "n_base": self.n_base}, f)
+
+    @classmethod
+    def load(cls, path: str, n_base: Optional[int] = None,
+             metric: Metric | str | None = None, dim: int = 0):
+        meta = {}
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
+        with open(path, "rb") as f:
+            (n_total,) = struct.unpack("<I", f.read(4))
+            payload = np.fromfile(f, dtype=np.uint32)
+        lists, off, maxdeg = [], 0, 1
+        for _ in range(n_total):
+            deg = int(payload[off]); off += 1
+            lists.append(payload[off:off + deg].astype(np.int32)); off += deg
+            maxdeg = max(maxdeg, deg)
+        if off != payload.size:
+            raise ValueError(f"{path}: trailing bytes in bipartite graph file")
+        nb = np.full((n_total, maxdeg), n_total, np.int32)
+        for i, row in enumerate(lists):
+            nb[i, : row.size] = row
+        return cls(neighbors=nb,
+                   n_base=int(meta.get("n_base", n_base or 0)),
+                   metric=Metric.parse(metric or meta.get("metric", "ip")),
+                   dim=int(meta.get("dim", dim)))
+
+
+def build_bipartite(
+    base: np.ndarray,
+    train_queries: np.ndarray,
+    learn_base_knn: np.ndarray,
+    cfg: BuildConfig = BuildConfig(),
+    base_row_cap: int = 0,
+) -> BipartiteIndex:
+    """Materialize the bipartite graph from the loaded kNN.
+
+    ``base_row_cap > 0`` bounds base in-degree (closest queries kept) to
+    keep the padded tensor narrow on very skewed datasets; 0 = unbounded
+    like the reference.
+    """
+    metric = Metric.parse(cfg.metric)
+    n = base.shape[0]
+    nq = train_queries.shape[0]
+    n_total = n + nq
+    knn = np.asarray(learn_base_knn[:, : cfg.M_pjbp], np.int64)
+
+    # query rows: kNN minus every occurrence of the top-1 target
+    tgt = knn[:, 0]
+    q_rows = np.where(knn == tgt[:, None], n_total, knn).astype(np.int32)
+    q_rows = q_rows[:, 1:] if np.all(q_rows[:, 0] == n_total) else q_rows
+    # left-compact
+    order = np.argsort(q_rows == n_total, axis=1, kind="stable")
+    q_rows = np.take_along_axis(q_rows, order, axis=1)
+
+    # base rows: reverse edge from each query to its top-1 base
+    counts = np.bincount(tgt, minlength=n)
+    width_base = int(counts.max()) if counts.size else 1
+    if base_row_cap > 0:
+        width_base = min(width_base, base_row_cap)
+    if base_row_cap > 0:
+        # closest-first: order queries by distance to their target
+        bd = prepare_vectors(base, metric)
+        qd = prepare_vectors(train_queries, metric)
+        a = np.asarray(jnp.take(bd, jnp.asarray(tgt), axis=0))
+        ip = np.sum(a * np.asarray(qd), axis=1)
+        dist = -ip if metric in (Metric.IP, Metric.COSINE) else None
+        if dist is None:
+            dist = ((a - np.asarray(qd)) ** 2).sum(axis=1)
+        order = np.lexsort((dist, tgt))
+    else:
+        order = np.argsort(tgt, kind="stable")
+    ts = tgt[order]
+    qs = order + n  # global query ids, in insertion (or distance) order
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(ts, minlength=n), out=offs[1:])
+    rank = np.arange(ts.size, dtype=np.int64) - offs[ts]
+    keep = rank < width_base
+    b_rows = np.full((n, width_base), n_total, np.int32)
+    b_rows[ts[keep], rank[keep]] = qs[keep].astype(np.int32)
+
+    width = max(width_base, q_rows.shape[1])
+    nb = np.full((n_total, width), n_total, np.int32)
+    nb[:n, :width_base] = b_rows
+    nb[n:, : q_rows.shape[1]] = q_rows
+    return BipartiteIndex(neighbors=nb, n_base=n, metric=metric,
+                          dim=base.shape[1])
+
+
+class BipartiteSearcher:
+    """Two-hop search over the bipartite graph (reference :282-356)."""
+
+    def __init__(self, index: BipartiteIndex, base: np.ndarray, seed: int = 0,
+                 n_init: int = 10):
+        self.metric = index.metric
+        self.base = prepare_vectors(base, self.metric)
+        self.neighbors = jnp.asarray(index.neighbors)
+        self.n_base = index.n_base
+        rng = np.random.default_rng(seed)
+        # the reference draws 10 fresh random seeds per query; one fixed
+        # draw per searcher keeps the batch in lockstep
+        self.eps = jnp.asarray(
+            rng.choice(index.n_base, size=min(n_init, index.n_base),
+                       replace=False).astype(np.int32))
+
+    def search(self, queries: np.ndarray, k: int, L: int,
+               query_batch: int = 512) -> Tuple[np.ndarray, ...]:
+        q = np.asarray(prepare_vectors(np.asarray(queries, np.float32),
+                                       self.metric))
+        nq = q.shape[0]
+        qb = min(query_batch, nq)
+        out_i = np.empty((nq, k), np.int32)
+        out_d = np.empty((nq, k), np.float32)
+        out_c = np.empty((nq,), np.int32)
+        out_h = np.empty((nq,), np.int32)
+        for s in range(0, nq, qb):
+            e = min(s + qb, nq)
+            batch = q[s:e]
+            if e - s < qb:
+                batch = np.concatenate(
+                    [batch, np.zeros((qb - (e - s), q.shape[1]), np.float32)])
+            r = beam_search(self.base, self.neighbors, self.eps,
+                            jnp.asarray(batch), k=k, L=L, metric=self.metric,
+                            two_hop=True)
+            out_i[s:e] = np.asarray(r.ids)[: e - s]
+            out_d[s:e] = np.asarray(r.dists)[: e - s]
+            out_c[s:e] = np.asarray(r.cmps)[: e - s]
+            out_h[s:e] = np.asarray(r.hops)[: e - s]
+        return out_i, out_d, out_c, out_h

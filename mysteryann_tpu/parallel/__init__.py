@@ -1,0 +1,6 @@
+from mysteryann_tpu.parallel.mesh import make_mesh, shard_base, replicate  # noqa: F401
+from mysteryann_tpu.parallel.sharded_knn import sharded_exact_knn  # noqa: F401
+from mysteryann_tpu.parallel.sharded_search import (  # noqa: F401
+    distributed_beam_search,
+    query_parallel_search,
+)

@@ -1,0 +1,180 @@
+"""Multi-chip search.
+
+Two scaling modes, matching SURVEY §2's "TPU-native equivalents" note:
+
+- `query_parallel_search`: the index fits one chip → replicate base+graph,
+  shard the query stream over every device (pure DP — the analogue of the
+  reference's `omp parallel for` over queries,
+  tests/test_search_roargraph.cpp:203-209).
+
+- `distributed_beam_search`: the index does NOT fit one chip (T2I-100M
+  class) → base vectors and the padded adjacency are row-sharded over the
+  ``mp`` mesh axis, queries sharded over ``dp``. Each lockstep expansion:
+
+    1. the owner shard of the expanded node contributes its neighbor row;
+       one ``psum`` over ``mp`` broadcasts it (int32 [B, M] — KBs on ICI);
+    2. every shard gathers vectors only for the neighbor ids *it owns*,
+       computes partial distances, and a second ``psum`` combines them
+       (f32 [B, M]) — vectors never cross ICI, only distances do;
+    3. pool merge + visited-bitmask update run replicated per dp-shard
+       (cheap VPU sort; identical on every mp peer, no extra comm).
+
+  The per-node mutexes of the reference have no analogue: state is
+  functional and each query's pool is private.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from mysteryann_tpu.ops.distances import Metric
+from mysteryann_tpu.search.beam import SearchResult, _scatter_or_bits, beam_search
+
+_INF = jnp.float32(jnp.inf)
+
+
+def query_parallel_search(
+    mesh: Mesh, base, neighbors, eps, queries, k: int, L: int,
+    metric: Metric = Metric.IP, **kw,
+) -> SearchResult:
+    """DP-only: replicate index, shard queries over the whole mesh."""
+    q = jax.device_put(queries, NamedSharding(mesh, P(("dp", "mp"), None)))
+    b = jax.device_put(base, NamedSharding(mesh, P()))
+    nb = jax.device_put(neighbors, NamedSharding(mesh, P()))
+    return beam_search(b, nb, eps, q, k=k, L=L, metric=metric, **kw)
+
+
+def distributed_beam_search(
+    mesh: Mesh,
+    base,          # [N, d] — sharded over "mp" rows
+    neighbors,     # [N, M] int32, global neighbor ids, sentinel >= N
+    eps,           # [E] int32 entry points
+    queries,       # [B, d] — sharded over "dp"
+    k: int,
+    L: int,
+    metric: Metric = Metric.IP,
+    max_hops: int = 0,
+) -> SearchResult:
+    metric = Metric.parse(metric)
+    n, d = base.shape
+    M = neighbors.shape[1]
+    B = queries.shape[0]
+    E = eps.shape[0]
+    dp, mp = mesh.shape["dp"], mesh.shape["mp"]
+    if n % mp or B % dp:
+        raise ValueError(f"N ({n}) must divide mp ({mp}); B ({B}) dp ({dp})")
+    shard_n = n // mp
+    if max_hops <= 0:
+        max_hops = 4 * L + 32
+    n_words = -(-n // 32)
+    is_l2 = metric == Metric.L2
+
+    def local(q, b_shard, nb_shard):
+        bl = q.shape[0]
+        my = jax.lax.axis_index("mp")
+        off = my * shard_n
+        b_sq = jnp.sum(b_shard * b_shard, axis=-1)
+        q_sq = jnp.sum(q * q, axis=-1)
+
+        def gather_rows(ids):           # ids [bl] global -> [bl, M]
+            owned = (ids >= off) & (ids < off + shard_n)
+            loc = jnp.take(nb_shard, jnp.clip(ids - off, 0, shard_n - 1),
+                           axis=0)
+            contrib = jnp.where(owned[:, None], loc, 0)
+            rows = jax.lax.psum(contrib, "mp")
+            return jnp.where((ids < n)[:, None], rows, n)
+
+        def dist_to_q(ids):             # ids [bl, M] global -> [bl, M]
+            owned = (ids >= off) & (ids < off + shard_n)
+            loc_ids = jnp.clip(ids - off, 0, shard_n - 1)
+            vecs = jnp.take(b_shard, loc_ids, axis=0)      # [bl, M, d]
+            ip = jnp.einsum("bd,bmd->bm", q, vecs,
+                            preferred_element_type=jnp.float32)
+            if is_l2:
+                dloc = q_sq[:, None] - 2.0 * ip + b_sq[loc_ids]
+            else:
+                dloc = -ip
+            return jax.lax.psum(jnp.where(owned, dloc, 0.0), "mp")
+
+        # seed pool
+        ep_ids = jnp.broadcast_to(eps[None, :], (bl, E)).astype(jnp.int32)
+        ep_d = dist_to_q(ep_ids)
+        pad = L - E
+        cand_ids = jnp.concatenate(
+            [ep_ids, jnp.full((bl, pad), n, jnp.int32)], axis=1)
+        cand_d = jnp.concatenate([ep_d, jnp.full((bl, pad), _INF)], axis=1)
+        cand_exp = jnp.concatenate(
+            [jnp.zeros((bl, E), jnp.bool_), jnp.ones((bl, pad), jnp.bool_)],
+            axis=1)
+        cand_d, cand_ids, cand_exp = jax.lax.sort(
+            (cand_d, cand_ids, cand_exp), dimension=-1, num_keys=2)
+        visited = jnp.zeros((bl, n_words), jnp.uint32)
+        visited = _scatter_or_bits(
+            visited, ep_ids >> 5,
+            jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32), ep_ids < n)
+
+        def cond(st):
+            return jnp.logical_and(jnp.any(~st[2]), st[6] < max_hops)
+
+        def body(st):
+            cand_ids, cand_d, cand_exp, visited, cmps, hops, it = st
+            unexp = ~cand_exp
+            has = jnp.any(unexp, axis=1)
+            sel = jnp.argmax(unexp, axis=1)
+            b_i = jnp.arange(bl)
+            cur = jnp.where(has, cand_ids[b_i, sel], n)
+            cand_exp = cand_exp.at[b_i, jnp.where(has, sel, L)].set(
+                True, mode="drop")
+
+            nbrs = gather_rows(cur)                          # [bl, M]
+            in_b = nbrs < n
+            nb_c = jnp.where(in_b, nbrs, 0)
+            words, bits = nb_c >> 5, jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
+            seen = (visited[jnp.arange(bl)[:, None], words] & bits) != 0
+            f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
+            sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1, num_keys=1)
+            dups = jnp.concatenate(
+                [jnp.zeros((bl, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]],
+                axis=1)
+            first = jnp.zeros_like(in_b).at[
+                jnp.arange(bl)[:, None], si].set(~dups)
+            fresh = in_b & ~seen & first
+            visited = _scatter_or_bits(visited, words, bits, fresh)
+
+            nd = jnp.where(fresh, dist_to_q(nb_c), _INF)
+            new_ids = jnp.where(fresh, nbrs, n)
+            cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+            hops = hops + has.astype(jnp.int32)
+
+            all_d = jnp.concatenate([cand_d, nd], axis=1)
+            all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
+            all_e = jnp.concatenate([cand_exp, ~fresh], axis=1)
+            all_d, all_i, all_e = jax.lax.sort(
+                (all_d, all_i, all_e), dimension=-1, num_keys=2)
+            return (all_i[:, :L], all_d[:, :L], all_e[:, :L], visited,
+                    cmps, hops, it + 1)
+
+        st = (cand_ids, cand_d, cand_exp, visited,
+              jnp.full((bl,), E, jnp.int32), jnp.zeros((bl,), jnp.int32),
+              jnp.int32(0))
+        cand_ids, cand_d, _, _, cmps, hops, _ = jax.lax.while_loop(
+            cond, body, st)
+        return cand_ids[:, :k], cand_d[:, :k], cmps, hops
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("dp", None), P("mp", None), P("mp", None)),
+        out_specs=(P("dp", None), P("dp", None), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    q = jax.device_put(queries, NamedSharding(mesh, P("dp", None)))
+    b = jax.device_put(base, NamedSharding(mesh, P("mp", None)))
+    nb = jax.device_put(neighbors, NamedSharding(mesh, P("mp", None)))
+    ids, dists, cmps, hops = jax.jit(fn)(q, b, nb)
+    return SearchResult(ids=ids, dists=dists, cmps=cmps, hops=hops)

@@ -1,0 +1,89 @@
+"""CLI end-to-end: compute-gt → build → search, through main() entries."""
+
+import numpy as np
+import pytest
+
+from mysteryann_tpu.io import make_cross_modal, write_fbin, read_knn_ibin, read_gt_with_dist
+from mysteryann_tpu.cli import compute_gt, build_roargraph, search_roargraph
+from mysteryann_tpu.cli import build_bipartite, search_bipartite
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clidata")
+    base, train_q = make_cross_modal(1200, 800, 24, metric="ip", seed=31)
+    _, eval_q = make_cross_modal(10, 100, 24, metric="ip", seed=32)
+    write_fbin(str(d / "base.fbin"), base)
+    write_fbin(str(d / "train.fbin"), train_q)
+    write_fbin(str(d / "eval.fbin"), eval_q)
+    return d
+
+
+def test_compute_gt_cli(data_dir):
+    rc = compute_gt.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--query_path", str(data_dir / "train.fbin"),
+        "--k", "16", "--dist", "ip", "--format", "knn",
+        "--out_path", str(data_dir / "train_base.ibin"),
+    ])
+    assert rc == 0
+    knn = read_knn_ibin(str(data_dir / "train_base.ibin"), expected_k=16)
+    assert knn.shape == (800, 16)
+    rc = compute_gt.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--query_path", str(data_dir / "eval.fbin"),
+        "--k", "10", "--dist", "ip", "--format", "gt",
+        "--out_path", str(data_dir / "gt.bin"),
+    ])
+    assert rc == 0
+    ids, dists = read_gt_with_dist(str(data_dir / "gt.bin"))
+    assert ids.shape == (100, 10)
+
+
+def test_build_and_search_roargraph_cli(data_dir, capsys):
+    rc = build_roargraph.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--sampled_query_data_path", str(data_dir / "train.fbin"),
+        "--learn_base_nn_path", str(data_dir / "train_base.ibin"),
+        "--projection_index_save_path", str(data_dir / "proj.index"),
+        "--M_sq", "16", "--M_pjbp", "8", "--L_pjpq", "32",
+        "--dist", "ip", "--query_batch", "256", "--search_batch", "256",
+    ])
+    assert rc == 0
+    rc = search_roargraph.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--projection_index_save_path", str(data_dir / "proj.index"),
+        "--query_path", str(data_dir / "eval.fbin"),
+        "--gt_path", str(data_dir / "gt.bin"),
+        "--k", "10", "--L_pq", "32", "64",
+        "--query_batch", "100",
+        "--csv_path", str(data_dir / "out.csv"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "QPS" in out and "recall" in out
+    csv_text = (data_dir / "out.csv").read_text().strip().splitlines()
+    assert len(csv_text) == 3  # header + 2 rows
+    recall = float(csv_text[-1].split(",")[4])
+    assert recall > 0.7
+
+
+def test_build_and_search_bipartite_cli(data_dir, capsys):
+    rc = build_bipartite.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--sampled_query_data_path", str(data_dir / "train.fbin"),
+        "--learn_base_nn_path", str(data_dir / "train_base.ibin"),
+        "--bipartite_index_save_path", str(data_dir / "bip.index"),
+        "--M_sq", "16", "--M_pjbp", "16", "--dist", "ip",
+    ])
+    assert rc == 0
+    rc = search_bipartite.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--bipartite_index_save_path", str(data_dir / "bip.index"),
+        "--query_path", str(data_dir / "eval.fbin"),
+        "--gt_path", str(data_dir / "gt.bin"),
+        "--k", "10", "--L_pq", "64", "--query_batch", "100",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "QPS" in out
