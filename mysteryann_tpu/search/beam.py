@@ -77,7 +77,8 @@ def _scatter_or_bits(visited: jax.Array, words: jax.Array, bits: jax.Array,
 
 @partial(
     jax.jit,
-    static_argnames=("k", "L", "metric", "max_hops", "expand", "two_hop"),
+    static_argnames=("k", "L", "metric", "max_hops", "expand", "two_hop",
+                     "visited_mode"),
 )
 def beam_search(
     base: jax.Array,            # f32 [N, d] (metric-preprocessed)
@@ -91,6 +92,7 @@ def beam_search(
     max_hops: int = 0,
     expand: int = 1,
     two_hop: bool = False,
+    visited_mode: str = "bitmask",
     query_vecs_for_graph: jax.Array | None = None,
 ) -> SearchResult:
     """Best-first beam search of `queries` over the padded graph.
@@ -100,10 +102,28 @@ def beam_search(
     expansion visits neighbors-of-neighbors (base→query→base). In that mode
     `neighbors` must cover base+query nodes (global id space) and
     `query_vecs_for_graph` is unused (query nodes are never scored).
+
+    `visited_mode` selects the dedup structure:
+
+    - ``"bitmask"``: per-query uint32 bitmask over all N base points — the
+      exact analogue of the reference's VisitedListPool; an id is scored at
+      most once (reference-parity ``cmps``). Costs [B, N/32] HBM state and
+      a scatter per step.
+    - ``"pool"``: membership test against the candidate pool only. Sound
+      because re-insertion of a dropped candidate is impossible — the
+      pool's worst kept distance is monotonically non-increasing, and a
+      candidate was dropped precisely because it was worse (the pool never
+      holds +inf pads once full). Ids reached again by another path may be
+      re-*scored* (higher ``cmps``) but are rejected at the merge, so
+      traversal order and results are unchanged. No big visited buffer, no
+      scatter — the fast serving mode.
     """
     metric = Metric.parse(metric)
     if k > L:
         raise ValueError(f"k ({k}) must be <= L ({L})")
+    if visited_mode not in ("bitmask", "pool"):
+        raise ValueError(f"unknown visited_mode {visited_mode!r}")
+    use_bitmask = visited_mode == "bitmask"
     n_base, d = base.shape
     n_total = neighbors.shape[0]
     M = neighbors.shape[1]
@@ -111,7 +131,7 @@ def beam_search(
     E = eps.shape[0]
     if max_hops <= 0:
         max_hops = 4 * L + 32
-    n_words = -(-n_base // 32)
+    n_words = -(-n_base // 32) if use_bitmask else 1
 
     if base_sqnorm is None and metric == Metric.L2:
         base_sqnorm = jnp.sum(base * base, axis=-1)
@@ -133,9 +153,11 @@ def beam_search(
         (cand_d, cand_ids, cand_exp), dimension=-1, num_keys=2)
 
     visited = jnp.zeros((B, n_words), jnp.uint32)
-    ep_words = ep_ids >> 5
-    ep_bits = (jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32))
-    visited = _scatter_or_bits(visited, ep_words, ep_bits, ep_ids < n_base)
+    if use_bitmask:
+        ep_words = ep_ids >> 5
+        ep_bits = (jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32))
+        visited = _scatter_or_bits(visited, ep_words, ep_bits,
+                                   ep_ids < n_base)
 
     cmps0 = jnp.full((B,), E, jnp.int32)
     hops0 = jnp.zeros((B,), jnp.int32)
@@ -190,13 +212,17 @@ def beam_search(
         else:
             nbrs = nbrs.reshape(B, -1)                            # [B, e*M]
 
-        # -- visited-bit check + mark --------------------------------------
+        # -- seen-before check ----------------------------------------------
         in_base = nbrs < n_base   # only base nodes are scored/inserted
         nb_c = jnp.where(in_base, nbrs, 0)
-        words = nb_c >> 5
-        bits = (jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32))
-        seen = (visited[jax.lax.broadcasted_iota(jnp.int32, words.shape, 0),
-                        words] & bits) != 0
+        if use_bitmask:
+            words = nb_c >> 5
+            bits = (jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32))
+            seen = (visited[jax.lax.broadcasted_iota(
+                jnp.int32, words.shape, 0), words] & bits) != 0
+        else:
+            # pool membership (see visited_mode docstring for soundness)
+            seen = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :], axis=2)
         # intra-step duplicates (same id appearing twice in this step's
         # fan-out) must be reduced to one representative: duplicates would
         # corrupt the sum-as-OR trick in _scatter_or_bits and insert twice
@@ -208,7 +234,8 @@ def beam_search(
         fb_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 0)
         first_occ = jnp.zeros_like(in_base).at[fb_iota, si].set(~dup_sorted)
         fresh = in_base & ~seen & first_occ                       # [B, F]
-        visited = _scatter_or_bits(visited, words, bits, fresh)
+        if use_bitmask:
+            visited = _scatter_or_bits(visited, words, bits, fresh)
 
         # -- distances for fresh neighbors ---------------------------------
         vecs = gather_vecs(nb_c)                                  # [B, F, d]

@@ -37,6 +37,7 @@ class Searcher:
     def search(
         self, queries: np.ndarray, k: int, L: int,
         query_batch: int = 1024, expand: int = 1,
+        visited_mode: str = "bitmask",
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Returns (ids [Q,k], dists [Q,k], cmps [Q], hops [Q])."""
         q = np.asarray(prepare_vectors(np.asarray(queries, np.float32),
@@ -55,7 +56,8 @@ class Searcher:
                     [batch, np.zeros((qb - (e - s), q.shape[1]), np.float32)])
             r = beam_search(self.base, self.neighbors, self.eps,
                             jnp.asarray(batch), k=k, L=L, metric=self.metric,
-                            base_sqnorm=self.base_sqnorm, expand=expand)
+                            base_sqnorm=self.base_sqnorm, expand=expand,
+                            visited_mode=visited_mode)
             out_i[s:e] = np.asarray(r.ids)[: e - s]
             out_d[s:e] = np.asarray(r.dists)[: e - s]
             out_c[s:e] = np.asarray(r.cmps)[: e - s]
@@ -64,20 +66,21 @@ class Searcher:
 
     def benchmark(self, queries: np.ndarray, k: int, L: int,
                   query_batch: int = 1024, warmup: int = 1,
-                  expand: int = 1) -> dict:
+                  expand: int = 1, visited_mode: str = "bitmask") -> dict:
         """Timed sweep entry — the reference driver's per-L_pq row
         (tests/test_search_roargraph.cpp:190,231-236)."""
         q = np.asarray(prepare_vectors(np.asarray(queries, np.float32),
                                        self.metric))
         qb = min(query_batch, q.shape[0])
         for _ in range(warmup):  # compile + warm cache (reference warms 100q)
-            beam_search(self.base, self.neighbors, self.eps,
-                        jnp.asarray(q[:qb]), k=k, L=L, metric=self.metric,
-                        base_sqnorm=self.base_sqnorm,
-                        expand=expand).ids.block_until_ready()
+            np.asarray(beam_search(
+                self.base, self.neighbors, self.eps, jnp.asarray(q[:qb]),
+                k=k, L=L, metric=self.metric, base_sqnorm=self.base_sqnorm,
+                expand=expand, visited_mode=visited_mode).ids[:1])
         t0 = time.perf_counter()
         ids, dists, cmps, hops = self.search(q, k, L, query_batch=qb,
-                                             expand=expand)
+                                             expand=expand,
+                                             visited_mode=visited_mode)
         jax.block_until_ready(ids)
         dt = time.perf_counter() - t0
         return {
