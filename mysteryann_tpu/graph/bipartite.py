@@ -46,15 +46,26 @@ class BipartiteIndex:
         return self.neighbors.shape[0]
 
     def save(self, path: str) -> None:
+        from mysteryann_tpu import native
         n_total = self.n_total
-        nb = self.neighbors
-        valid = nb < n_total
-        with open(path, "wb") as f:
-            f.write(struct.pack("<I", n_total))
-            for i in range(n_total):
-                row = nb[i, valid[i]].astype(np.uint32)
-                f.write(struct.pack("<I", row.size))
-                row.tofile(f)
+        nb = np.ascontiguousarray(self.neighbors, np.int32)
+        L = native.lib()
+        if L is not None:
+            import ctypes
+            rc = L.msann_save_bipartite(
+                path.encode(), n_total,
+                nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nb.shape[1])
+            if rc != 0:
+                raise OSError(f"native save failed ({rc}) for {path}")
+        else:
+            valid = nb < n_total
+            with open(path, "wb") as f:
+                f.write(struct.pack("<I", n_total))
+                for i in range(n_total):
+                    row = nb[i, valid[i]].astype(np.uint32)
+                    f.write(struct.pack("<I", row.size))
+                    row.tofile(f)
         with open(path + ".meta.json", "w") as f:
             json.dump({"metric": self.metric.value, "dim": self.dim,
                        "n_base": self.n_base}, f)
@@ -62,10 +73,35 @@ class BipartiteIndex:
     @classmethod
     def load(cls, path: str, n_base: Optional[int] = None,
              metric: Metric | str | None = None, dim: int = 0):
+        from mysteryann_tpu import native
         meta = {}
         if os.path.exists(path + ".meta.json"):
             with open(path + ".meta.json") as f:
                 meta = json.load(f)
+        L = native.lib()
+        if L is not None:
+            import ctypes
+            nt = ctypes.c_uint32()
+            md = ctypes.c_uint32()
+            rc = L.msann_scan_bipartite(path.encode(), ctypes.byref(nt),
+                                        ctypes.byref(md))
+            if rc == -22:
+                raise ValueError(
+                    f"{path}: trailing bytes in bipartite graph file")
+            if rc != 0:
+                raise OSError(f"native scan failed ({rc}) for {path}")
+            n_total = int(nt.value)
+            nb = np.empty((n_total, max(int(md.value), 1)), np.int32)
+            rc = L.msann_load_bipartite(
+                path.encode(),
+                nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n_total, nb.shape[1])
+            if rc != 0:
+                raise OSError(f"native load failed ({rc}) for {path}")
+            return cls(neighbors=nb,
+                       n_base=int(meta.get("n_base", n_base or 0)),
+                       metric=Metric.parse(metric or meta.get("metric", "ip")),
+                       dim=int(meta.get("dim", dim)))
         with open(path, "rb") as f:
             (n_total,) = struct.unpack("<I", f.read(4))
             payload = np.fromfile(f, dtype=np.uint32)

@@ -90,8 +90,19 @@ class RoarGraphIndex:
 
 
 def save_projection_graph(path: str, g: PaddedGraph) -> None:
+    from mysteryann_tpu import native
+    nb = np.ascontiguousarray(g.neighbors, np.int32)
     n = g.n_nodes
-    nb = g.neighbors
+    L = native.lib()
+    if L is not None:
+        import ctypes
+        rc = L.msann_save_projection(
+            path.encode(), g.ep, n,
+            nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            nb.shape[1])
+        if rc != 0:
+            raise OSError(f"native save failed ({rc}) for {path}")
+        return
     valid = nb < n
     degs = valid.sum(axis=1).astype(np.uint32)
     with open(path, "wb") as f:
@@ -103,6 +114,29 @@ def save_projection_graph(path: str, g: PaddedGraph) -> None:
 
 
 def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph:
+    from mysteryann_tpu import native
+    L = native.lib()
+    if L is not None:
+        import ctypes
+        ep = ctypes.c_uint32()
+        n = ctypes.c_uint32()
+        md = ctypes.c_uint32()
+        words = ctypes.c_int64()
+        rc = L.msann_scan_projection(path.encode(), ctypes.byref(ep),
+                                     ctypes.byref(n), ctypes.byref(md),
+                                     ctypes.byref(words))
+        if rc == -22:  # EINVAL: trailing bytes
+            raise ValueError(f"{path}: trailing bytes in projection graph file")
+        if rc != 0:
+            raise OSError(f"native scan failed ({rc}) for {path}")
+        width = m_pad or max(int(md.value), 1)
+        nb = np.empty((n.value, width), np.int32)
+        rc = L.msann_load_projection(
+            path.encode(), nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n.value, width)
+        if rc != 0:
+            raise OSError(f"native load failed ({rc}) for {path}")
+        return PaddedGraph(neighbors=nb, ep=int(ep.value))
     with open(path, "rb") as f:
         ep, n = struct.unpack("<II", f.read(8))
         payload = np.fromfile(f, dtype=np.uint32)
@@ -125,6 +159,30 @@ def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph
 # --------------------------------------------------------------------------
 # building blocks
 # --------------------------------------------------------------------------
+
+
+class _BuildCheckpoint:
+    """Phase-level build checkpointing (absent in the reference)."""
+
+    def __init__(self, directory: Optional[str]):
+        self.dir = directory
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+
+    def _path(self, phase: str) -> str:
+        return os.path.join(self.dir, f"build_{phase}.npy")
+
+    def load(self, phase: str) -> Optional[np.ndarray]:
+        if not self.dir or not os.path.exists(self._path(phase)):
+            return None
+        return np.load(self._path(phase))
+
+    def save(self, phase: str, arr: np.ndarray) -> None:
+        if not self.dir:
+            return
+        tmp = self._path(phase) + ".tmp.npy"
+        np.save(tmp, arr)
+        os.replace(tmp, self._path(phase))
 
 
 def compute_medoid(base: jax.Array) -> int:
@@ -257,51 +315,85 @@ def build_roargraph(
     learn_base_knn: np.ndarray,
     cfg: BuildConfig = BuildConfig(),
     verbose: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> RoarGraphIndex:
     """Build the RoarGraph projection index.
 
     `learn_base_knn` is the exact train-query→base kNN ([Nq, K] ids,
     K ≥ cfg.M_sq) — produce it with `ops.knn.exact_knn` or load the
     reference's file via `io.read_knn_ibin`.
+
+    `checkpoint_dir`: mid-build checkpointing (the reference has none —
+    its build is all-or-nothing, SURVEY §5). Phase outputs are saved
+    there and a rerun resumes from the last completed phase.
     """
+    import functools
+    import sys
+
     metric = Metric.parse(cfg.metric)
     M = cfg.M_pjbp
     n = base.shape[0]
     nq = train_queries.shape[0]
-    log = print if verbose else (lambda *a, **k: None)
+    # progress goes to stderr: stdout belongs to callers (bench.py's JSON
+    # contract, CLI table output)
+    log = (functools.partial(print, file=sys.stderr, flush=True)
+           if verbose else (lambda *a, **k: None))
 
     base_dev = prepare_vectors(base, metric)  # device, normalized if cosine
     knn = np.asarray(learn_base_knn[:, : cfg.M_sq], np.int64)
+
+    ckpt = _BuildCheckpoint(checkpoint_dir)
 
     with Timer("medoid") as t_med:
         ep = compute_medoid(base_dev)
     log(f"projection ep: {ep} ({t_med.elapsed:.2f}s)")
 
     # ---- Phase A: projection ------------------------------------------------
+    # Every training query's list is pruned against its top-1 target.
+    # Queries sharing a target race in the reference: each one's pruned
+    # list is written then ProjectionAddReverse'd, so ALL of them
+    # contribute reverse edges v→tgt even though only one list survives
+    # as the forward list (:1088-1092). We keep the first query's list as
+    # the forward list (deterministic) and harvest reverse candidates
+    # from every query's pruned list.
     with Timer("phaseA") as t_a:
+        st = ckpt.load("phaseA")
+        if st is not None:
+            pruned_all = st
+        else:
+            tgt_all32 = knn[:, 0].astype(np.int32)
+            cand = knn.astype(np.int32)                         # [Nq, M_sq]
+            cand = np.where(cand == tgt_all32[:, None], n, cand)
+            pruned_all = _batched_prune_rows(
+                base_dev, tgt_all32, cand, M, metric,
+                cfg.query_batch, fill=True)                     # [Nq, M]
+            ckpt.save("phaseA", pruned_all)
         tgt_all = knn[:, 0]
-        # deterministic target-collision resolution: first query wins
         winners_tgt, first_idx = np.unique(tgt_all, return_index=True)
-        cand = knn[first_idx].astype(np.int32)              # [U, M_sq]
-        cand = np.where(cand == winners_tgt[:, None], n, cand)
         forward = np.full((n, M), n, np.int32)
-        forward[winners_tgt] = _batched_prune_rows(
-            base_dev, winners_tgt.astype(np.int32), cand, M, metric,
-            cfg.query_batch, fill=True)
-    log(f"phase A: {winners_tgt.size}/{nq} unique targets ({t_a.elapsed:.2f}s)")
+        forward[winners_tgt] = pruned_all[first_idx]
+    log(f"phase A: {winners_tgt.size}/{nq} unique targets "
+        f"({t_a.elapsed:.2f}s)")
 
     # ---- Phase B+C: reverse edges + degree repair ---------------------------
     with Timer("phaseBC") as t_bc:
-        f_valid = forward < n
-        e_src = np.repeat(np.arange(n, dtype=np.int64), M)[f_valid.ravel()]
-        e_dst = forward.ravel().astype(np.int64)[f_valid.ravel()]
-        # edge distances for closest-first reverse capping
-        e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
-        rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=3 * M)
-        projection = _merge_forward_reverse(
-            base_dev, forward, rev, cap=M, metric=metric,
-            batch=cfg.query_batch, fill=True)
-        del forward, rev
+        projection = ckpt.load("phaseBC")
+        if projection is None:
+            pv = pruned_all < n
+            e_src = np.repeat(tgt_all, M)[pv.ravel()]           # u = target
+            e_dst = pruned_all.ravel().astype(np.int64)[pv.ravel()]
+            # dedupe (v→u) pairs across queries sharing a target
+            key = e_dst * np.int64(n) + e_src
+            _, uniq = np.unique(key, return_index=True)
+            e_src, e_dst = e_src[uniq], e_dst[uniq]
+            # edge distances for closest-first reverse capping
+            e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
+            rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=3 * M)
+            projection = _merge_forward_reverse(
+                base_dev, forward, rev, cap=M, metric=metric,
+                batch=cfg.query_batch, fill=True)
+            ckpt.save("phaseBC", projection)
+        del forward, pruned_all
     pg = PaddedGraph(neighbors=projection, ep=ep)
     st = pg.degree_stats()
     log(f"phase B/C: degree avg {st['avg']:.1f} max {st['max']} "
@@ -309,7 +401,11 @@ def build_roargraph(
 
     # ---- Phase D: connectivity enhancement ----------------------------------
     with Timer("phaseD") as t_d:
-        supply = _connectivity_pass(base_dev, projection, ep, cfg, metric, log)
+        supply = ckpt.load("phaseD")
+        if supply is None:
+            supply = _connectivity_pass(base_dev, projection, ep, cfg,
+                                        metric, log)
+            ckpt.save("phaseD", supply)
         # merge novel supply edges into projection (reference :1251-1269)
         final = _append_novel(projection, supply, cap_add=2 * M, n=n)
     g = PaddedGraph(neighbors=final, ep=ep)
@@ -337,47 +433,104 @@ def _edge_dists(base_dev, e_src, e_dst, metric, chunk: int = 1 << 20):
 
 
 def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
-    """Phase D: per-node search + prune + reverse supply edges."""
+    """Phase D: per-node search + prune + reverse supply edges.
+
+    The reference runs this incrementally — every node's search sees the
+    supply edges (incl. reverse edges) added by nodes processed before it
+    (src/index_bipartite.cpp:1192-1220 mutates supply_nbrs_ in-flight).
+    That bootstrapping is what densifies a sparse post-projection graph;
+    a single frozen-snapshot pass stalls on under-covered corpora. We
+    reproduce it in rounds: the node set is processed in
+    ``connectivity_rounds`` chunks, and after each chunk its pruned lists
+    plus closest-first reverse edges (insertion budget 2·M_pjbp) are
+    folded into the supply tensor the next chunk searches.
+    """
     n, M = projection.shape[0], cfg.M_pjbp
     L = cfg.L_pjpq
     sb = max(8, min(cfg.search_batch, n))
-    supply_graph = jnp.asarray(projection)  # frozen snapshot for searches
     eps = jnp.asarray([ep], jnp.int32)
-
-    supply_new = np.full((n, M), n, np.int32)
     prune_batch = max(8, min(cfg.search_batch, 256))
-    for s in range(0, n, sb):
-        e = min(s + sb, n)
-        q = np.asarray(base_dev[s:e])
-        if e - s < sb:
-            q = np.concatenate([q, np.zeros((sb - (e - s), q.shape[1]),
-                                            np.float32)])
-        r = beam_search(base_dev, supply_graph, eps, jnp.asarray(q),
-                        k=L, L=L, metric=metric, expand=1)
-        pool = np.asarray(r.ids)[: e - s]                   # [b, L]
-        node_ids = np.arange(s, e, dtype=np.int32)
-        # seed must not be an existing projection neighbor (:1861-1864)
-        ns = _membership(pool, projection[s:e], n)
-        supply_new[s:e] = _batched_prune_rows(
-            base_dev, node_ids, pool, M, metric, prune_batch, fill=False,
-            not_seedable=ns)
-        if s // sb % 8 == 0:
-            log(f"\r{100.0 * e / n:.1f}% of connectivity search", end="")
+
+    rounds = cfg.connectivity_iters or 8
+    # live supply graph, width 2M (insertion budget)
+    supply = np.full((n, 2 * M), n, np.int32)
+    supply[:, : projection.shape[1]] = projection[:, : 2 * M]
+    supply_dev = jnp.asarray(supply)
+
+    chunk = -(-n // rounds)
+    searched = np.full((n, M), n, np.int32)  # own pruned search results
+    for r0 in range(0, n, chunk):
+        r1 = min(r0 + chunk, n)
+        for s in range(r0, r1, sb):
+            e = min(s + sb, r1)
+            q = np.asarray(base_dev[s:e])
+            if e - s < sb:
+                q = np.concatenate(
+                    [q, np.zeros((sb - (e - s), q.shape[1]), np.float32)])
+            r = beam_search(base_dev, supply_dev, eps, jnp.asarray(q),
+                            k=L, L=L, metric=metric, expand=1,
+                            visited_mode="pool")
+            pool = np.asarray(r.ids)[: e - s]               # [b, L]
+            node_ids = np.arange(s, e, dtype=np.int32)
+            # seed must not be an existing projection neighbor (:1861-1864)
+            ns = _membership(pool, projection[s:e], n)
+            searched[s:e] = _batched_prune_rows(
+                base_dev, node_ids, pool, M, metric, prune_batch,
+                fill=False, not_seedable=ns)
+        # fold this chunk into the live supply graph
+        chunk_lists = searched[r0:r1]
+        cv = chunk_lists < n
+        e_src = (np.repeat(np.arange(r0, r1, dtype=np.int64), M)
+                 [cv.ravel()])
+        e_dst = chunk_lists.ravel().astype(np.int64)[cv.ravel()]
+        e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
+        # own rows: overwrite with the fresh pruned lists (reference :1213)
+        supply[r0:r1] = n
+        supply[r0:r1, :M] = chunk_lists
+        # reverse edges: append closest-first into remaining budget
+        deg = (supply < n).sum(axis=1).astype(np.int64)
+        budget = np.maximum(2 * M - deg, 0)
+        rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=2 * M,
+                                 budget=budget)
+        supply = _concat_budgeted(supply, rev, n)
+        supply_dev = jnp.asarray(supply)
+        log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
     log("")
 
-    # reverse supply edges: budget 2M - own, overflow-prune to M (no fill)
-    own_deg = (supply_new < n).sum(axis=1).astype(np.int64)
-    sv = supply_new < n
-    e_src = np.repeat(np.arange(n, dtype=np.int64), M)[sv.ravel()]
-    e_dst = supply_new.ravel().astype(np.int64)[sv.ravel()]
-    e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
-    budget = np.maximum(2 * M - own_deg, 0)
-    rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=2 * M,
-                             budget=budget)
-    supply_final = _merge_forward_reverse(
-        base_dev, supply_new, rev, cap=M, metric=metric,
-        batch=cfg.query_batch, fill=False, prune_threshold=M)
+    # overflow re-prune: any row > M goes back through the occlusion prune
+    # (reference :1224-1248, no fill)
+    deg = (supply < n).sum(axis=1)
+    over = np.nonzero(deg > M)[0]
+    supply_final = np.full((n, M), n, np.int32)
+    supply_final[:] = supply[:, :M]
+    under = deg <= M
+    supply_final[under] = _left_compact(supply[under], n)[:, :M]
+    if over.size:
+        pruned = _batched_prune_rows(
+            base_dev, over.astype(np.int32), supply[over], M, metric,
+            prune_batch, fill=False)
+        supply_final[over] = pruned
     return supply_final
+
+
+def _left_compact(arr: np.ndarray, sentinel: int) -> np.ndarray:
+    order = np.argsort(arr == sentinel, axis=1, kind="stable")
+    return np.take_along_axis(arr, order, axis=1)
+
+
+def _concat_budgeted(own: np.ndarray, extra: np.ndarray, n: int) -> np.ndarray:
+    """Append `extra` (already budget-capped, dup-possible vs own) into own's
+    free slots, dropping duplicates, keeping width fixed."""
+    width = own.shape[1]
+    # drop extras already present in own (chunked broadcast)
+    extra = extra.copy()
+    chunk = max(1, (1 << 27) // max(1, extra.shape[1] * width))
+    for s in range(0, own.shape[0], chunk):
+        e = min(s + chunk, own.shape[0])
+        dup = (extra[s:e, :, None] == own[s:e, None, :]).any(axis=2)
+        extra[s:e][dup] = n
+    cat = np.concatenate([own, extra], axis=1)
+    return _left_compact(cat, n)[:, :width]
 
 
 def _membership(pool: np.ndarray, rows: np.ndarray, n: int) -> np.ndarray:

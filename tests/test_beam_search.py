@@ -27,7 +27,7 @@ def _recall(found, gt):
 
 @pytest.fixture(scope="module")
 def small_world():
-    base, queries = make_cross_modal(2000, 64, 32, metric="ip", seed=5)
+    base, queries = make_cross_modal(2000, 64, 32, n_concepts=1, metric="ip", seed=5)
     graph = _knn_graph(base, 16, "ip")
     _, gt = exact_knn(queries, base, k=10, metric="ip", precision="highest")
     return base, queries, graph, gt

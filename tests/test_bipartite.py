@@ -18,7 +18,9 @@ def world():
     _, eval_q = make_cross_modal(10, 150, 24, metric="ip", seed=88)
     _, knn = exact_knn(train_q, base, k=16, metric="ip", precision="highest")
     cfg = BuildConfig(M_sq=16, M_pjbp=16, metric="ip")
-    index = build_bipartite(base, train_q, knn, cfg)
+    # Zipfian concept popularity gives hub bases huge reverse in-degree;
+    # the two-hop fan-out is O(width^2), so cap base rows (closest kept)
+    index = build_bipartite(base, train_q, knn, cfg, base_row_cap=24)
     _, gt = exact_knn(eval_q, base, k=10, metric="ip", precision="highest")
     return base, eval_q, index, gt
 
@@ -35,8 +37,10 @@ def test_structure(world):
     # each query row has at most M_pjbp - 1 edges (top-1 excluded)
     q_deg = (nb[n:] < n_total).sum(axis=1)
     assert q_deg.max() <= 15
-    # every query contributes exactly one reverse edge
-    assert (nb[:n] < n_total).sum() == 4500
+    # every query contributes one reverse edge, up to the per-base cap
+    rev_edges = (nb[:n] < n_total).sum()
+    assert 0 < rev_edges <= 4500
+    assert (nb[:n] < n_total).sum(axis=1).max() <= 24
 
 
 def test_two_hop_search_recall(world):

@@ -1,0 +1,30 @@
+"""Mid-build checkpoint/resume (capability beyond the reference)."""
+
+import numpy as np
+
+from mysteryann_tpu.io import make_cross_modal
+from mysteryann_tpu.ops import exact_knn
+from mysteryann_tpu.graph import build_roargraph
+from mysteryann_tpu.utils.params import BuildConfig
+
+
+def test_checkpoint_resume_identical(tmp_path):
+    base, train_q = make_cross_modal(1200, 600, 24, metric="ip", seed=41)
+    _, knn = exact_knn(train_q, base, k=16, metric="ip", precision="highest")
+    cfg = BuildConfig(M_sq=16, M_pjbp=8, L_pjpq=32, metric="ip",
+                      query_batch=256, search_batch=256)
+    ck = str(tmp_path / "ck")
+    a = build_roargraph(base, train_q, knn, cfg, verbose=False,
+                        checkpoint_dir=ck)
+    # phase files exist
+    import os
+    assert {f for f in os.listdir(ck)} == {
+        "build_phaseA.npy", "build_phaseBC.npy", "build_phaseD.npy"}
+    # resume from checkpoints reproduces the same graph
+    b = build_roargraph(base, train_q, knn, cfg, verbose=False,
+                        checkpoint_dir=ck)
+    np.testing.assert_array_equal(a.graph.neighbors, b.graph.neighbors)
+    assert a.graph.ep == b.graph.ep
+    # and matches an un-checkpointed build
+    c = build_roargraph(base, train_q, knn, cfg, verbose=False)
+    np.testing.assert_array_equal(a.graph.neighbors, c.graph.neighbors)

@@ -23,7 +23,7 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def world():
-    base, queries = make_cross_modal(1600, 64, 32, metric="ip", seed=13)
+    base, queries = make_cross_modal(1600, 64, 32, n_concepts=1, metric="ip", seed=13)
     # kNN graph for search tests
     _, ids = exact_knn(base, base, k=9, metric="ip", precision="highest")
     n = base.shape[0]

@@ -17,7 +17,7 @@ from mysteryann_tpu.search import beam_search
 
 @pytest.fixture(scope="module")
 def world():
-    base, queries = make_cross_modal(3000, 128, 32, metric="ip", seed=17)
+    base, queries = make_cross_modal(3000, 128, 32, n_concepts=1, metric="ip", seed=17)
     _, ids = exact_knn(base, base, k=13, metric="ip", precision="highest")
     n = base.shape[0]
     graph = np.full((n, 12), n, np.int32)
