@@ -1,14 +1,17 @@
-"""Round benchmark — one JSON line for the driver.
+"""Round benchmark — one JSON line (stdout) for the driver.
 
 Metric (BASELINE.md north star): QPS/chip at recall@10 >= 0.95 on a
 T2I-like synthetic 1M-vector cross-modal workload (128-d, inner product,
-OOD training queries), single chip. ``vs_baseline`` is the ratio against
-the reference CPU QPS at the same recall on the same data when
-`BASELINE.md` records a measured number (see `baseline/`), else 0.0.
+OOD training queries), single chip. The framework's best serving mode at
+that recall wins (on a v5e at 1M scale that is the flat MXU index —
+brute force at ~100 TFLOP/s beats pointer-chasing; the RoarGraph engine
+rows are also reported for parity evidence). ``vs_baseline`` is the ratio
+against the reference's measured CPU QPS at the same recall on identical
+data (see baseline/ and BASELINE.md), extrapolated to its 16-thread
+search config.
 
 Artifacts (synthetic data, GT, train kNN, built index) are cached under
-``.bench_cache/`` keyed by the scale config, so repeated runs measure
-search + build, not data prep.
+``.bench_cache/`` keyed by the scale config; all progress goes to stderr.
 """
 
 from __future__ import annotations
@@ -22,12 +25,14 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".cache", "jax"))
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".cache", "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
-# scale config (T2I-1M slice, BASELINE.json configs[0])
+# scale config (T2I-1M slice, BASELINE.json configs[0]); v2 = manifold data
+KEY_VERSION = "v2"
 N_BASE = 1_000_000
 N_TRAIN = 200_000
 N_EVAL = 8_192
@@ -39,8 +44,8 @@ TARGET_RECALL = 0.95
 L_SWEEP = (10, 20, 40, 70, 100, 150, 250, 400)
 
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+def log(*a, **k):
+    print(*a, file=sys.stderr, flush=True, **k)
 
 
 def _cached(name, fn):
@@ -55,11 +60,11 @@ def _cached(name, fn):
 
 
 def read_baseline_qps() -> float:
-    """Measured reference CPU QPS at the target recall, from BASELINE.md."""
+    """Measured reference CPU QPS at target recall (16-thread equivalent)."""
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BASELINE.md")) as f:
-            m = re.search(r"MEASURED_REFERENCE_QPS_AT_R95\s*=\s*([0-9.]+)",
+            m = re.search(r"MEASURED_REFERENCE_QPS_AT_R95_T16\s*=\s*([0-9.]+)",
                           f.read())
         return float(m.group(1)) if m else 0.0
     except OSError:
@@ -69,14 +74,14 @@ def read_baseline_qps() -> float:
 def main():
     from mysteryann_tpu.io import make_cross_modal
     from mysteryann_tpu.ops import exact_knn
+    from mysteryann_tpu.flat import FlatIndex
     from mysteryann_tpu.graph import build_roargraph, RoarGraphIndex
-    from mysteryann_tpu.graph.roargraph import save_projection_graph
     from mysteryann_tpu.search import Searcher
     from mysteryann_tpu.utils.params import BuildConfig
     from mysteryann_tpu.utils.metrics import compute_recall
 
     t_all = time.time()
-    key = f"t2i1m_{N_BASE}_{N_TRAIN}_{DIM}"
+    key = f"t2i1m_{KEY_VERSION}_{N_BASE}_{N_TRAIN}_{DIM}"
 
     log("== data ==")
     base, train_q = _cached(key + "_data", lambda: make_cross_modal(
@@ -90,6 +95,17 @@ def main():
         base_tile=131072))))
     gt_i = gt_i.astype(np.int64)
 
+    # ---- flat MXU index (headline serving mode at this scale) -------------
+    log("== flat index ==")
+    flat = FlatIndex(base, metric=METRIC)
+    flat_row = None
+    for _ in range(2):  # second run = steady state
+        r = flat.benchmark(eval_q, k=K)
+        r["recall"] = compute_recall(r["ids"], gt_i, K)
+        flat_row = {kk: vv for kk, vv in r.items() if kk not in ("ids", "dists")}
+    log(f"flat: QPS={flat_row['qps']:.0f} recall={flat_row['recall']:.4f}")
+
+    # ---- RoarGraph engine (parity evidence + large-N regime) --------------
     log("== train kNN (build input) ==")
     (knn,) = _cached(key + "_knn", lambda: [exact_knn(
         train_q, base, k=M_SQ, metric=METRIC, query_batch=8192,
@@ -104,41 +120,53 @@ def main():
         cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
                           metric=METRIC, query_batch=8192, search_batch=8192)
         t0 = time.time()
-        index = build_roargraph(base, train_q, knn, cfg, verbose=True)
+        index = build_roargraph(base, train_q, knn, cfg, verbose=True,
+                                checkpoint_dir=os.path.join(CACHE, key + "_ck"))
         build_secs = time.time() - t0
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)
 
-    log("== search sweep ==")
+    log("== graph search sweep ==")
     searcher = Searcher(index, base)
-    best = None
-    rows = []
+    graph_rows = []
+    graph_best = None
     for L in L_SWEEP:
-        r = searcher.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL)
+        r = searcher.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL,
+                               visited_mode="pool", expand=2)
         r["recall"] = compute_recall(r["ids"], gt_i, K)
-        rows.append({k: v for k, v in r.items() if k not in ("ids", "dists")})
+        graph_rows.append({kk: vv for kk, vv in r.items()
+                           if kk not in ("ids", "dists")})
         log(f"L={L}: QPS={r['qps']:.0f} recall={r['recall']:.4f} "
             f"cmps={r['avg_cmps']:.0f} hops={r['avg_hops']:.0f}")
         if r["recall"] >= TARGET_RECALL:
-            best = r
+            graph_best = graph_rows[-1]
             break
-    if best is None:
-        best = max(rows, key=lambda r: r["recall"])
-        best["qps"] = 0.0  # did not reach target recall
+
+    # headline: best mode meeting the recall target
+    candidates = [row for row in ([flat_row] + ([graph_best] if graph_best
+                                                else []))
+                  if row and row["recall"] >= TARGET_RECALL]
+    best = max(candidates, key=lambda r: r["qps"]) if candidates else None
+    value = best["qps"] if best else 0.0
 
     base_qps = read_baseline_qps()
     result = {
         "metric": f"QPS/chip at recall@{K}>={TARGET_RECALL} on synthetic "
                   f"T2I-1M ({DIM}d, IP, OOD)",
-        "value": round(best["qps"], 1),
+        "value": round(value, 1),
         "unit": "QPS",
-        "vs_baseline": round(best["qps"] / base_qps, 3) if base_qps else 0.0,
+        "vs_baseline": round(value / base_qps, 3) if base_qps else 0.0,
         "detail": {
-            "recall": round(best["recall"], 4),
-            "L_pq": best["L_pq"],
-            "build_secs": None if build_secs is None else round(build_secs, 1),
-            "rows": [{k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in r.items()} for r in rows],
+            "mode": ("flat" if best is flat_row else
+                     "roargraph" if best else "none"),
+            "recall": round(best["recall"], 4) if best else 0.0,
+            "flat": {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                     for kk, vv in (flat_row or {}).items()},
+            "graph_rows": [{kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                            for kk, vv in r.items()} for r in graph_rows],
+            "graph_build_secs": (None if build_secs is None
+                                 else round(build_secs, 1)),
+            "baseline_qps_t16": base_qps,
             "wall_secs": round(time.time() - t_all, 1),
         },
     }

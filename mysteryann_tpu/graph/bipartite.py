@@ -200,25 +200,24 @@ class BipartiteSearcher:
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 512) -> Tuple[np.ndarray, ...]:
-        q = np.asarray(prepare_vectors(np.asarray(queries, np.float32),
-                                       self.metric))
-        nq = q.shape[0]
+        import jax
+
+        if not isinstance(queries, jax.Array):
+            queries = np.asarray(queries, np.float32)
+        q = prepare_vectors(queries, self.metric)
+        nq, d = q.shape
         qb = min(query_batch, nq)
-        out_i = np.empty((nq, k), np.int32)
-        out_d = np.empty((nq, k), np.float32)
-        out_c = np.empty((nq,), np.int32)
-        out_h = np.empty((nq,), np.int32)
-        for s in range(0, nq, qb):
-            e = min(s + qb, nq)
-            batch = q[s:e]
-            if e - s < qb:
-                batch = np.concatenate(
-                    [batch, np.zeros((qb - (e - s), q.shape[1]), np.float32)])
-            r = beam_search(self.base, self.neighbors, self.eps,
-                            jnp.asarray(batch), k=k, L=L, metric=self.metric,
-                            two_hop=True)
-            out_i[s:e] = np.asarray(r.ids)[: e - s]
-            out_d[s:e] = np.asarray(r.dists)[: e - s]
-            out_c[s:e] = np.asarray(r.cmps)[: e - s]
-            out_h[s:e] = np.asarray(r.hops)[: e - s]
-        return out_i, out_d, out_c, out_h
+        pad = (-nq) % qb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
+        outs = []
+        for s in range(0, nq + pad, qb):
+            outs.append(beam_search(
+                self.base, self.neighbors, self.eps,
+                jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
+                metric=self.metric, two_hop=True))
+        out_i = np.concatenate([np.asarray(r.ids) for r in outs])[:nq]
+        out_d = np.concatenate([np.asarray(r.dists) for r in outs])[:nq]
+        out_c = np.concatenate([np.asarray(r.cmps) for r in outs])[:nq]
+        out_h = np.concatenate([np.asarray(r.hops) for r in outs])[:nq]
+        return out_i.astype(np.int32), out_d, out_c, out_h

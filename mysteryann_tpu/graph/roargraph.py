@@ -196,14 +196,21 @@ def compute_medoid(base: jax.Array) -> int:
 def _aggregate_reverse(
     e_src: np.ndarray, e_dst: np.ndarray, e_dist: np.ndarray,
     n: int, r_max: int, budget: Optional[np.ndarray] = None,
+    arrival_order: bool = False,
 ) -> np.ndarray:
-    """Group reverse edges by destination, closest-first, into [n, r_max].
+    """Group reverse edges by destination into [n, r_max].
 
     ``budget`` (per-destination max accepted, e.g. ``2M - own_degree``)
     emulates the reference's bounded push_back before overflow pruning.
+    ``arrival_order=True`` keeps the incoming edge order per destination
+    (the reference's push_back order) instead of closest-first — a
+    closest-first cap structurally starves far/tail sources of in-edges.
     Returns sentinel(n)-padded int32.
     """
-    order = np.lexsort((e_dist, e_dst))
+    if arrival_order:
+        order = np.argsort(e_dst, kind="stable")
+    else:
+        order = np.lexsort((e_dist, e_dst))
     ds, ss = e_dst[order], e_src[order]
     counts = np.bincount(ds, minlength=n)
     offsets = np.zeros(n + 1, np.int64)
@@ -408,6 +415,8 @@ def build_roargraph(
             ckpt.save("phaseD", supply)
         # merge novel supply edges into projection (reference :1251-1269)
         final = _append_novel(projection, supply, cap_add=2 * M, n=n)
+        # phase E: reachability repair (reference's dead CollectPoints)
+        final = _ensure_reachability(final, ep, base_dev, metric, log)
     g = PaddedGraph(neighbors=final, ep=ep)
     st = g.degree_stats()
     log(f"phase D: final degree avg {st['avg']:.1f} max {st['max']} "
@@ -451,7 +460,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     eps = jnp.asarray([ep], jnp.int32)
     prune_batch = max(8, min(cfg.search_batch, 256))
 
-    rounds = cfg.connectivity_iters or 8
+    rounds = cfg.connectivity_iters or 16
     # live supply graph, width 2M (insertion budget)
     supply = np.full((n, 2 * M), n, np.int32)
     supply[:, : projection.shape[1]] = projection[:, : 2 * M]
@@ -461,6 +470,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     searched = np.full((n, M), n, np.int32)  # own pruned search results
     for r0 in range(0, n, chunk):
         r1 = min(r0 + chunk, n)
+        H = 3 * L  # expansion-history length ≈ reference full_retset size
         for s in range(r0, r1, sb):
             e = min(s + sb, r1)
             q = np.asarray(base_dev[s:e])
@@ -468,9 +478,12 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
                 q = np.concatenate(
                     [q, np.zeros((sb - (e - s), q.shape[1]), np.float32)])
             r = beam_search(base_dev, supply_dev, eps, jnp.asarray(q),
-                            k=L, L=L, metric=metric, expand=1,
-                            visited_mode="pool")
-            pool = np.asarray(r.ids)[: e - s]               # [b, L]
+                            k=1, L=L, metric=metric, expand=1,
+                            visited_mode="pool", collect_expanded=H)
+            # prune over the FULL expanded set (reference full_retset,
+            # :1318) — includes expanded-then-dropped far nodes, whose
+            # long-range edges the occlusion rule keeps for navigability
+            pool = np.asarray(r.hist_ids)[: e - s]          # [b, H]
             node_ids = np.arange(s, e, dtype=np.int32)
             # seed must not be an existing projection neighbor (:1861-1864)
             ns = _membership(pool, projection[s:e], n)
@@ -487,12 +500,35 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
         # own rows: overwrite with the fresh pruned lists (reference :1213)
         supply[r0:r1] = n
         supply[r0:r1, :M] = chunk_lists
-        # reverse edges: append closest-first into remaining budget
-        deg = (supply < n).sum(axis=1).astype(np.int64)
-        budget = np.maximum(2 * M - deg, 0)
+        # reverse edges. The reference appends while a destination is
+        # under 2M and occlusion-prunes it back to M on overflow
+        # (SupplyAddReverse → PruneProjectionInternalReverseCandidates) —
+        # hub lists cycle through prune-then-refill windows, so even far
+        # tail sources land in free slots. A closest-first cap or a
+        # prune-only fold strands tail nodes with zero in-degree
+        # (measured 13-17k unreachable on a 100k corpus). Reproduce the
+        # cycle per round: gather reverse sources in arrival order, prune
+        # overfull destinations to M, then refill free slots with the
+        # remaining sources in arrival order.
         rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=2 * M,
-                                 budget=budget)
-        supply = _concat_budgeted(supply, rev, n)
+                                 arrival_order=True)
+        deg_own = (supply < n).sum(axis=1)
+        deg_rev = (rev < n).sum(axis=1)
+        fit = deg_own + deg_rev <= 2 * M
+        if fit.any():
+            rows = np.nonzero(fit)[0]
+            supply[rows] = _concat_budgeted(supply[rows], rev[rows], n)
+        over = np.nonzero(~fit)[0]
+        if over.size:
+            cand = np.concatenate([supply[over], rev[over]], axis=1)
+            pruned = _batched_prune_rows(
+                base_dev, over.astype(np.int32), cand, M, metric,
+                prune_batch, fill=False)
+            merged = np.full((over.size, 2 * M), n, np.int32)
+            merged[:, :M] = pruned
+            # refill: arrival-order leftovers not already kept
+            merged = _concat_budgeted(merged, cand, n)
+            supply[over] = merged
         supply_dev = jnp.asarray(supply)
         log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
     log("")
@@ -531,6 +567,83 @@ def _concat_budgeted(own: np.ndarray, extra: np.ndarray, n: int) -> np.ndarray:
         extra[s:e][dup] = n
     cat = np.concatenate([own, extra], axis=1)
     return _left_compact(cat, n)[:, :width]
+
+
+def _ensure_reachability(final: np.ndarray, ep: int, base_dev, metric,
+                         log) -> np.ndarray:
+    """Phase E: make every node reachable from the entry point.
+
+    The reference carries this as dead code (findroot/dfs/CollectPoints,
+    src/index_bipartite.cpp:2521-2604 — the NSG-style tree attach, its
+    call commented out at :211): find nodes unreachable from the medoid
+    and attach each to its nearest reachable node. Our batched build
+    strands a few percent of tail nodes (the reference's racy incremental
+    inserts mostly avoid it on its datasets), so we run the repair for
+    real: BFS from ep, then per unreachable node append it to its nearest
+    reachable neighbor's list (first free slot, else replace the last),
+    iterating until the graph is fully reachable.
+    """
+    from mysteryann_tpu.ops.knn import exact_knn_device
+
+    n, width = final.shape
+    for it in range(8):
+        # BFS from ep (vectorized frontier waves)
+        reachable = np.zeros(n, bool)
+        reachable[ep] = True
+        frontier = np.array([ep], np.int64)
+        while frontier.size:
+            nxt = final[frontier]
+            nxt = np.unique(nxt[nxt < n])
+            nxt = nxt[~reachable[nxt]]
+            reachable[nxt] = True
+            frontier = nxt
+        stranded = np.nonzero(~reachable)[0]
+        if stranded.size == 0:
+            if it:
+                log(f"phase E: reachability repaired in {it} rounds")
+            return final
+        log(f"phase E round {it}: {stranded.size} unreachable nodes")
+        # nearest reachable neighbor for each stranded node (batch padded
+        # to a power of two so repair rounds share compiled shapes)
+        kk = 32
+        bs = 1 << max(5, (stranded.size - 1).bit_length())
+        pad_ids = np.zeros(bs, np.int32)
+        pad_ids[: stranded.size] = stranded
+        q = jnp.take(base_dev, jnp.asarray(pad_ids), axis=0)
+        _, cand = exact_knn_device(q, base_dev, k=kk, metric=metric,
+                                   tile=min(131072, n), approx=True)
+        cand = np.asarray(cand)[: stranded.size]
+        # attach to the A nearest reachable anchors (a single thin edge
+        # leaves repaired nodes hard to find; the reference's tail nodes
+        # carry ~M/2 in-edges)
+        A = 3
+        n_found = np.zeros(stranded.size, np.int64)
+        attach_src, attach_dst = [], []
+        for j in range(kk):
+            c = cand[:, j].astype(np.int64)
+            good = (n_found < A) & reachable[c] & (c != stranded)
+            attach_src.append(stranded[good])
+            attach_dst.append(c[good])
+            n_found += good
+        u_all = np.concatenate(attach_src)
+        v_all = np.concatenate(attach_dst)
+        none_found = n_found == 0
+        if none_found.any():  # fall back to the entry point itself
+            u_all = np.concatenate([u_all, stranded[none_found]])
+            v_all = np.concatenate(
+                [v_all, np.full(none_found.sum(), ep, np.int64)])
+        # append u into v's list; collisions get successive free slots
+        order = np.argsort(v_all, kind="stable")
+        at_s, u_s = v_all[order], u_all[order]
+        counts = np.bincount(at_s, minlength=n)
+        offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        rank = np.arange(at_s.size) - offs[at_s]
+        free0 = (final[at_s] < n).sum(axis=1)
+        slot = np.minimum(free0 + rank, width - 1)
+        final[at_s, slot] = u_s.astype(np.int32)
+    log("phase E: WARNING — repair did not converge in 8 rounds")
+    return final
 
 
 def _membership(pool: np.ndarray, rows: np.ndarray, n: int) -> np.ndarray:

@@ -41,6 +41,9 @@ class SearchResult(NamedTuple):
     dists: jax.Array   # f32   [B, k]
     cmps: jax.Array    # int32 [B] — distance computations (reference "cmps")
     hops: jax.Array    # int32 [B] — node expansions (reference "hops")
+    # expansion history (reference full_retset) when collect_expanded > 0:
+    hist_ids: jax.Array | None = None   # int32 [B, H], sentinel-padded
+    hist_d: jax.Array | None = None     # f32 [B, H]
 
 
 def _batch_dist(q: jax.Array, vecs: jax.Array, metric: Metric,
@@ -78,7 +81,7 @@ def _scatter_or_bits(visited: jax.Array, words: jax.Array, bits: jax.Array,
 @partial(
     jax.jit,
     static_argnames=("k", "L", "metric", "max_hops", "expand", "two_hop",
-                     "visited_mode"),
+                     "visited_mode", "collect_expanded"),
 )
 def beam_search(
     base: jax.Array,            # f32 [N, d] (metric-preprocessed)
@@ -93,6 +96,7 @@ def beam_search(
     expand: int = 1,
     two_hop: bool = False,
     visited_mode: str = "bitmask",
+    collect_expanded: int = 0,
     query_vecs_for_graph: jax.Array | None = None,
 ) -> SearchResult:
     """Best-first beam search of `queries` over the padded graph.
@@ -162,15 +166,25 @@ def beam_search(
     cmps0 = jnp.full((B,), E, jnp.int32)
     hops0 = jnp.zeros((B,), jnp.int32)
 
+    # expansion history (reference full_retset, src/index_bipartite.cpp:1318):
+    # every (id, dist) popped as closest_unexpanded, in pop order. Needed by
+    # the connectivity pass, whose prune wants the whole visited region —
+    # including expanded-then-dropped far nodes (the long-range edges).
+    H = max(collect_expanded, 1)
+    hist_ids0 = jnp.full((B, H), n_total, jnp.int32)
+    hist_d0 = jnp.full((B, H), _INF)
+
     fanout = (M * M) if two_hop else (M * expand)
 
     def cond(state):
-        _, _, cand_exp, _, _, _, it = state
+        cand_exp = state[2]
+        it = state[-1]
         live = jnp.any(jnp.logical_not(cand_exp))
         return jnp.logical_and(live, it < max_hops)
 
     def body(state):
-        cand_ids, cand_d, cand_exp, visited, cmps, hops, it = state
+        (cand_ids, cand_d, cand_exp, visited, cmps, hops,
+         hist_ids, hist_d, it) = state
 
         # -- pick the `expand` closest unexpanded entries per query --------
         unexp = jnp.logical_not(cand_exp)                         # [B, L]
@@ -196,6 +210,13 @@ def beam_search(
         b_iota = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
         cur = jnp.where(sel_valid, cand_ids[b_iota, sel], n_total)  # [B, e]
         sel_set = jnp.where(sel_valid, sel, L)  # L = OOB → dropped
+        if collect_expanded > 0:
+            cur_d = jnp.where(sel_valid, cand_d[b_iota, sel], _INF)
+            pos = hops[:, None] + jax.lax.broadcasted_iota(
+                jnp.int32, sel.shape, 1)
+            pos = jnp.where(sel_valid, pos, H)  # H = OOB → dropped
+            hist_ids = hist_ids.at[b_iota, pos].set(cur, mode="drop")
+            hist_d = hist_d.at[b_iota, pos].set(cur_d, mode="drop")
         cand_exp = cand_exp.at[b_iota, sel_set].set(True, mode="drop")
 
         # -- gather neighbor rows ------------------------------------------
@@ -255,15 +276,17 @@ def beam_search(
         all_d, all_i, all_e = jax.lax.sort(
             (all_d, all_i, all_e), dimension=-1, num_keys=2)
         return (all_i[:, :L], all_d[:, :L], all_e[:, :L],
-                visited, cmps, hops, it + 1)
+                visited, cmps, hops, hist_ids, hist_d, it + 1)
 
     state = (cand_ids, cand_d, cand_exp, visited, cmps0, hops0,
-             jnp.int32(0))
-    cand_ids, cand_d, cand_exp, visited, cmps, hops, _ = jax.lax.while_loop(
-        cond, body, state)
+             hist_ids0, hist_d0, jnp.int32(0))
+    (cand_ids, cand_d, cand_exp, visited, cmps, hops,
+     hist_ids, hist_d, _) = jax.lax.while_loop(cond, body, state)
 
-    return SearchResult(ids=cand_ids[:, :k], dists=cand_d[:, :k],
-                        cmps=cmps, hops=hops)
+    return SearchResult(
+        ids=cand_ids[:, :k], dists=cand_d[:, :k], cmps=cmps, hops=hops,
+        hist_ids=hist_ids if collect_expanded > 0 else None,
+        hist_d=hist_d if collect_expanded > 0 else None)
 
 
 def search_batched(base, neighbors, eps, queries, k, L, metric=Metric.IP,
