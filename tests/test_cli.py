@@ -5,7 +5,7 @@ import pytest
 
 from mysteryann_tpu.io import make_cross_modal, write_fbin, read_knn_ibin, read_gt_with_dist
 from mysteryann_tpu.cli import compute_gt, build_roargraph, search_roargraph
-from mysteryann_tpu.cli import build_bipartite, search_bipartite
+from mysteryann_tpu.cli import build_bipartite, search_bipartite, search_flat
 
 
 @pytest.fixture(scope="module")
@@ -66,6 +66,20 @@ def test_build_and_search_roargraph_cli(data_dir, capsys):
     assert len(csv_text) == 3  # header + 2 rows
     recall = float(csv_text[-1].split(",")[4])
     assert recall > 0.7
+
+
+def test_search_flat_cli(data_dir, capsys):
+    rc = search_flat.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--query_path", str(data_dir / "eval.fbin"),
+        "--gt_path", str(data_dir / "gt.bin"),
+        "--k", "10", "--dist", "ip", "--query_batch", "100",
+        "--tile", "512",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    recall = float(out.strip().splitlines()[-1].split()[4])
+    assert recall > 0.99
 
 
 def test_build_and_search_bipartite_cli(data_dir, capsys):
