@@ -1,0 +1,332 @@
+"""IVF (inverted-file) MXU index — sublinear exact-distance search.
+
+The missing middle between the flat scan (`flat.py`, O(N) but MXU-fast)
+and the graph engine (`graph/`, O(log N) hops but bound by ~1.7 GB/s
+random-row gathers on v5e): partition the corpus with k-means, store each
+cluster's vectors CONTIGUOUSLY, and per query scan only the top-`nprobe`
+clusters. Cluster blocks are whole HBM rows (hundreds of KB), so the
+gather is bulk DMA, and the per-cluster distance computation is a batched
+MXU contraction — the ScaNN/SOAR decomposition (PAPERS.md) without the
+quantization stage (distances stay exact f32; selection uses the hardware
+partial-reduce).
+
+Capability note: the reference has no IVF; this is TPU-native surface
+area for the 10M-100M regime where O(N) per query stops being free and
+graph traversal is gather-bound.
+
+Build: Lloyd iterations fully on device (assignment = tiled matmul
+argmin; update = segment means), then a capacity-bounded reassignment so
+the padded [nc, cap, d] layout wastes bounded HBM (overflow points move
+to their next-nearest cluster with room).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mysteryann_tpu.ops.distances import Metric, pairwise_dist, prepare_vectors
+
+
+@partial(jax.jit, static_argnames=("metric",))
+def _assign(x, centroids, metric):
+    d = pairwise_dist(x, centroids, metric=metric)
+    return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("nprobe", "metric"))
+def _ivf_topc(q, centroids, nprobe: int, metric: Metric):
+    cd = pairwise_dist(q, centroids, metric=metric)
+    _, top_c = jax.lax.approx_min_k(cd, k=nprobe)
+    return top_c.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "cap", "dim", "n_base"))
+def _ivf_scan_grouped(q, qmap, blocks, block_ids, k: int, metric: Metric,
+                      cap: int, dim: int, n_base: int):
+    """Cluster-major scan: one MXU matmul per cluster over the queries that
+    probe it (`qmap` [nc, Qmax], sentinel = B). Work is compute-shared —
+    no per-query private gathers; the cluster block is read once.
+
+    Returns per-(cluster, slot) candidates: ids/dists [nc, Qmax, k].
+    """
+    B = q.shape[0]
+
+    def step(_, inp):
+        block_flat, bids, qrow = inp               # [cap*dim], [cap], [Qmax]
+        block = block_flat.reshape(cap, dim)
+        qv = jnp.take(q, jnp.minimum(qrow, B - 1), axis=0)   # [Qmax, d]
+        ip = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if metric in (Metric.IP, Metric.COSINE):
+            dist = -ip
+        else:
+            qn = jnp.sum(qv * qv, axis=1, keepdims=True)
+            bn = jnp.sum(block * block, axis=1)
+            dist = qn - 2.0 * ip + bn[None, :]
+        dist = jnp.where(bids[None, :] < n_base, dist, jnp.inf)
+        vals, pos = jax.lax.approx_min_k(dist, k=min(k, cap))
+        ids = jnp.take(bids, pos)                            # [Qmax, k']
+        if k > cap:  # degenerate tiny clusters
+            padw = k - cap
+            vals = jnp.pad(vals, ((0, 0), (0, padw)),
+                           constant_values=jnp.inf)
+            ids = jnp.pad(ids, ((0, 0), (0, padw)),
+                          constant_values=n_base)
+        return None, (ids, vals)
+
+    _, (ids, vals) = jax.lax.scan(step, None, (blocks, block_ids, qmap))
+    return ids, vals                               # [nc, Qmax, k]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _ivf_merge(cand_ids, cand_d, slots, valid, k: int):
+    """Per-query merge: gather each query's p×k candidates and top-k.
+
+    `slots` [B, p, 2] = (cluster, slot-within-cluster) of the query's
+    probes in the scan output; `valid` [B, p] masks dropped probes.
+    """
+    B = slots.shape[0]
+    ci = cand_ids[slots[:, :, 0], slots[:, :, 1]]          # [B, p, k]
+    cd = cand_d[slots[:, :, 0], slots[:, :, 1]]
+    cd = jnp.where(valid[:, :, None], cd, jnp.inf)
+    ci = ci.reshape(B, -1)
+    cd = cd.reshape(B, -1)
+    neg, pos = jax.lax.top_k(-cd, k)
+    return jnp.take_along_axis(ci, pos, axis=1), -neg
+
+
+@partial(jax.jit,
+         static_argnames=("k", "nprobe", "metric", "cap", "dim", "n_base"))
+def _ivf_search(q, centroids, blocks, block_ids, k: int, nprobe: int,
+                metric: Metric, cap: int, dim: int, n_base: int):
+    """Top-`nprobe` cluster scan. Arrays are jit ARGUMENTS — closing over
+    the block tensor would bake ~GBs of constants into the HLO."""
+    B = q.shape[0]
+    cd = pairwise_dist(q, centroids, metric=metric)
+    _, top_c = jax.lax.approx_min_k(cd, k=nprobe)          # [B, p]
+
+    def probe(carry, j):
+        best_d, best_i = carry
+        cid = top_c[:, j]                                   # [B]
+        block = jnp.take(blocks, cid, axis=0).reshape(B, cap, dim)
+        bids = jnp.take(block_ids, cid, axis=0)             # [B, cap]
+        ip = jnp.einsum("bd,bcd->bc", q, block,
+                        preferred_element_type=jnp.float32)
+        if metric in (Metric.IP, Metric.COSINE):
+            dist = -ip
+        else:
+            qn = jnp.sum(q * q, axis=1, keepdims=True)
+            bn = jnp.sum(block * block, axis=2)
+            dist = qn - 2.0 * ip + bn
+        dist = jnp.where(bids < n_base, dist, jnp.inf)
+        cat_d = jnp.concatenate([best_d, dist], axis=1)
+        cat_i = jnp.concatenate([best_i, bids], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (jnp.full((B, k), jnp.inf, jnp.float32),
+            jnp.full((B, k), n_base, jnp.int32))
+    (bd, bi), _ = jax.lax.scan(probe, init,
+                               jnp.arange(nprobe, dtype=jnp.int32))
+    return bi, bd
+
+
+def _kmeans(x_dev, n_clusters: int, metric: Metric, iters: int,
+            seed: int, chunk: int = 131072) -> np.ndarray:
+    n, d = x_dev.shape
+    rng = np.random.default_rng(seed)
+    centroids = np.array(x_dev[rng.choice(n, n_clusters, replace=False)],
+                         copy=True)
+    @partial(jax.jit, static_argnames=("nc",))
+    def _accum(x, assign, nc):
+        sums = jax.ops.segment_sum(x, assign, num_segments=nc)
+        counts = jax.ops.segment_sum(
+            jnp.ones((x.shape[0],), jnp.float32), assign, num_segments=nc)
+        return sums, counts
+
+    for _ in range(iters):
+        c_dev = jnp.asarray(centroids)
+        sums = np.zeros((n_clusters, d), np.float64)
+        counts = np.zeros(n_clusters, np.float64)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            a = _assign(x_dev[s:e], c_dev, metric)
+            sm, ct = _accum(x_dev[s:e], a, n_clusters)
+            sums += np.asarray(sm, np.float64)
+            counts += np.asarray(ct, np.float64)
+        nonempty = counts > 0
+        centroids[nonempty] = (sums[nonempty]
+                               / counts[nonempty, None]).astype(np.float32)
+        # respawn empty clusters on random points
+        n_empty = int((~nonempty).sum())
+        if n_empty:
+            centroids[~nonempty] = np.asarray(
+                x_dev[rng.choice(n, n_empty, replace=False)])
+    return centroids
+
+
+class IVFIndex:
+    def __init__(self, base: np.ndarray, metric: Metric | str = Metric.IP,
+                 n_clusters: int = 0, cap_factor: float = 1.6,
+                 kmeans_iters: int = 10, seed: int = 0, verbose: bool = False):
+        self.metric = Metric.parse(metric)
+        base_dev = prepare_vectors(np.asarray(base, np.float32), self.metric)
+        n, dim = base_dev.shape
+        nc = n_clusters or max(16, int(np.sqrt(n) * 2))
+        t0 = time.perf_counter()
+        centroids = _kmeans(base_dev, nc, self.metric, kmeans_iters, seed)
+        cap = int(np.ceil(n / nc * cap_factor))
+
+        # capacity-bounded assignment: overflow moves to next-nearest
+        # cluster with room (ranked device pass, resolved on host)
+        kk = min(8, nc)
+        from mysteryann_tpu.ops.knn import exact_knn_device
+        cand = np.empty((n, kk), np.int32)
+        c_dev = jnp.asarray(centroids)
+        for s in range(0, n, 131072):
+            e = min(s + 131072, n)
+            _, ii = exact_knn_device(base_dev[s:e], c_dev, k=kk,
+                                     metric=self.metric, tile=nc)
+            cand[s:e] = np.asarray(ii)
+        fill = np.zeros(nc, np.int64)
+        slot_cluster = np.full(n, -1, np.int32)
+        slot_pos = np.zeros(n, np.int64)
+        unplaced = np.arange(n)
+        for j in range(kk):  # vectorized greedy pass per candidate rank
+            if unplaced.size == 0:
+                break
+            c = cand[unplaced, j].astype(np.int64)
+            order = np.argsort(c, kind="stable")
+            cs, us = c[order], unplaced[order]
+            offs = np.zeros(nc + 1, np.int64)
+            np.cumsum(np.bincount(cs, minlength=nc), out=offs[1:])
+            rank = np.arange(cs.size) - offs[cs]
+            accept = rank < (cap - fill[cs])
+            slot_cluster[us[accept]] = cs[accept].astype(np.int32)
+            slot_pos[us[accept]] = fill[cs[accept]] + rank[accept]
+            np.add.at(fill, cs[accept], 1)
+            unplaced = us[~accept]
+        if unplaced.size:  # spill leftovers into clusters with room
+            room = cap - fill
+            free_cluster = np.repeat(np.arange(nc), room)
+            if free_cluster.size < unplaced.size:  # grow cap as needed
+                extra = unplaced.size - free_cluster.size
+                grow = -(-extra // nc)
+                cap += grow
+                free_cluster = np.concatenate(
+                    [free_cluster, np.tile(np.arange(nc), grow)])
+            take = free_cluster[: unplaced.size]
+            order = np.argsort(take, kind="stable")
+            ts, us = take[order], unplaced[order]
+            offs = np.zeros(nc + 1, np.int64)
+            np.cumsum(np.bincount(ts, minlength=nc), out=offs[1:])
+            rank = np.arange(ts.size) - offs[ts]
+            slot_cluster[us] = ts.astype(np.int32)
+            slot_pos[us] = fill[ts] + rank
+            np.add.at(fill, ts, 1)
+        cap = int(fill.max())
+
+        base_np = np.asarray(base_dev)
+        blocks = np.zeros((nc, cap, dim), np.float32)
+        ids = np.full((nc, cap), n, np.int32)
+        blocks[slot_cluster, slot_pos] = base_np
+        ids[slot_cluster, slot_pos] = np.arange(n, dtype=np.int32)
+
+        self.n_base = n
+        self.n_clusters = nc
+        self.cap = cap
+        self.centroids = jnp.asarray(centroids)
+        self.blocks = jnp.asarray(blocks.reshape(nc, cap * dim))
+        self.block_ids = jnp.asarray(ids)
+        self.dim = dim
+        if verbose:
+            print(f"IVF: {nc} clusters cap {cap} "
+                  f"(waste {nc * cap / n:.2f}x) built in "
+                  f"{time.perf_counter() - t0:.1f}s")
+
+    def _search_device(self, q, k: int, nprobe: int):
+        return _ivf_search(q, self.centroids, self.blocks, self.block_ids,
+                           k=k, nprobe=nprobe, metric=self.metric,
+                           cap=self.cap, dim=self.dim, n_base=self.n_base)
+
+    def _search_grouped(self, q, k: int, nprobe: int):
+        """Cluster-major (query-grouped) probe — the compute-shared path.
+
+        Host builds the cluster→queries map (`qmap`, width bucketed to a
+        power of two for compile reuse); probes beyond a cluster's slot
+        budget are dropped (masked at the merge) — with a 4× average-load
+        budget this affects a negligible tail.
+        """
+        B = q.shape[0]
+        nc = self.n_clusters
+        top_c = np.asarray(_ivf_topc(q, self.centroids, nprobe, self.metric))
+        flat_c = top_c.ravel().astype(np.int64)
+        flat_q = np.repeat(np.arange(B, dtype=np.int64), nprobe)
+        order = np.argsort(flat_c, kind="stable")
+        cs, qs = flat_c[order], flat_q[order]
+        counts = np.bincount(cs, minlength=nc)
+        offs = np.zeros(nc + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        rank = np.arange(cs.size) - offs[cs]
+        avg_load = max(1, B * nprobe // nc)
+        qmax = 1 << int(np.ceil(np.log2(8 * avg_load)))
+        keep = rank < qmax
+        qmap = np.full((nc, qmax), B, np.int32)
+        qmap[cs[keep], rank[keep]] = qs[keep].astype(np.int32)
+        # slots/valid in (query, probe) order
+        slots = np.zeros((B, nprobe, 2), np.int32)
+        valid = np.zeros((B, nprobe), bool)
+        probe_idx = order % nprobe  # original probe position of each pair
+        slots[qs[keep], probe_idx[keep], 0] = cs[keep].astype(np.int32)
+        slots[qs[keep], probe_idx[keep], 1] = rank[keep].astype(np.int32)
+        valid[qs[keep], probe_idx[keep]] = True
+        cand_ids, cand_d = _ivf_scan_grouped(
+            q, jnp.asarray(qmap), self.blocks, self.block_ids, k=k,
+            metric=self.metric, cap=self.cap, dim=self.dim,
+            n_base=self.n_base)
+        return _ivf_merge(cand_ids, cand_d, jnp.asarray(slots),
+                          jnp.asarray(valid), k=k)
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int = 16,
+               query_batch: int = 2048, grouped: bool = True,
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        if not isinstance(queries, jax.Array):
+            queries = np.asarray(queries, np.float32)
+        q = prepare_vectors(queries, self.metric)
+        nq, d = q.shape
+        qb = min(query_batch, nq)
+        pad = (-nq) % qb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
+        impl = self._search_grouped if grouped else self._search_device
+        outs = []
+        for s in range(0, nq + pad, qb):
+            outs.append(impl(jax.lax.dynamic_slice_in_dim(q, s, qb),
+                             k, nprobe))
+        ids = np.concatenate([np.asarray(o[0]) for o in outs])[:nq]
+        dists = np.concatenate([np.asarray(o[1]) for o in outs])[:nq]
+        return ids.astype(np.int32), dists
+
+    def benchmark(self, queries: np.ndarray, k: int, nprobe: int = 16,
+                  query_batch: int = 2048, warmup: int = 1) -> dict:
+        q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
+        qb = min(query_batch, q.shape[0])
+        for _ in range(warmup):
+            self.search(q[:qb], k, nprobe=nprobe, query_batch=qb)
+        t0 = time.perf_counter()
+        ids, dists = self.search(q, k, nprobe=nprobe, query_batch=qb)
+        dt = time.perf_counter() - t0
+        return {
+            "qps": q.shape[0] / dt,
+            "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
+            "avg_cmps": float(nprobe * self.cap + self.n_clusters),
+            "avg_hops": float(nprobe),
+            "nprobe": nprobe,
+            "ids": ids, "dists": dists,
+        }
