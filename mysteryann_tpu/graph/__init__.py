@@ -11,4 +11,5 @@ from mysteryann_tpu.graph.roargraph import (  # noqa: F401
     compute_medoid,
     save_projection_graph,
     load_projection_graph,
+    load_nsg_graph,
 )

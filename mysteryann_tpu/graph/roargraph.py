@@ -156,6 +156,30 @@ def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph
     return PaddedGraph(neighbors=nb, ep=int(ep))
 
 
+def load_nsg_graph(path: str, n_nodes: int = 0,
+                   m_pad: Optional[int] = None) -> PaddedGraph:
+    """Import an NSG-format graph: ``[width u32][ep u32]`` then per node
+    ``[deg u32][ids…]`` (reference LoadNsgGraph,
+    src/index_bipartite.cpp:2073-2095 — which hardcodes npts=1,000,000;
+    here ``n_nodes=0`` means read until EOF)."""
+    with open(path, "rb") as f:
+        width, ep = struct.unpack("<II", f.read(8))
+        payload = np.fromfile(f, dtype=np.uint32)
+    lists, off, maxdeg = [], 0, 1
+    while off < payload.size and (n_nodes == 0 or len(lists) < n_nodes):
+        deg = int(payload[off]); off += 1
+        lists.append(payload[off:off + deg].astype(np.int32)); off += deg
+        maxdeg = max(maxdeg, deg)
+    if n_nodes and len(lists) != n_nodes:
+        raise ValueError(f"{path}: expected {n_nodes} nodes, "
+                         f"parsed {len(lists)}")
+    n = len(lists)
+    nb = np.full((n, m_pad or maxdeg), n, np.int32)
+    for i, row in enumerate(lists):
+        nb[i, : min(row.size, nb.shape[1])] = row[: nb.shape[1]]
+    return PaddedGraph(neighbors=nb, ep=int(ep))
+
+
 # --------------------------------------------------------------------------
 # building blocks
 # --------------------------------------------------------------------------

@@ -85,7 +85,7 @@ class Parameters:
         for f in dataclasses.fields(BuildConfig):
             if f.name in self._params:
                 v = self._params[f.name]
-                kw[f.name] = f.type if False else (str(v) if f.name == "metric" else int(v))
+                kw[f.name] = str(v) if f.name == "metric" else int(v)
         return BuildConfig(**kw)
 
     def to_search_config(self) -> SearchConfig:

@@ -68,3 +68,22 @@ def test_synthetic_shapes_and_ood():
     # OOD: query centroid is measurably displaced from base centroid
     gap = np.linalg.norm(base.mean(0) - q.mean(0))
     assert gap > 0.05
+
+
+def test_nsg_import(tmp_path, rng):
+    import struct
+    from mysteryann_tpu.graph import load_nsg_graph
+    # NSG layout: [width][ep] + per node [deg][ids...]
+    p = str(tmp_path / "g.nsg")
+    lists = [[1, 2], [0], [0, 1, 3], [2]]
+    with open(p, "wb") as f:
+        f.write(struct.pack("<II", 3, 2))
+        for l in lists:
+            f.write(struct.pack("<I", len(l)))
+            np.asarray(l, np.uint32).tofile(f)
+    g = load_nsg_graph(p)
+    assert g.ep == 2 and g.n_nodes == 4
+    from mysteryann_tpu.graph.adjacency import to_lists
+    assert to_lists(g) == lists
+    with pytest.raises(ValueError, match="expected"):
+        load_nsg_graph(p, n_nodes=7)
