@@ -446,6 +446,14 @@ def build_roargraph(
     log(f"phase D: final degree avg {st['avg']:.1f} max {st['max']} "
         f"zero {st['zero']} ({t_d.elapsed:.2f}s)")
 
+    from mysteryann_tpu.utils.trace import tracer
+    tr = tracer()
+    tr.record("build.medoid", t_med.elapsed)
+    tr.record("build.phaseA", t_a.elapsed, queries=int(nq))
+    tr.record("build.phaseBC", t_bc.elapsed)
+    tr.record("build.phaseD", t_d.elapsed, nodes=int(n))
+    tr.count("build.nodes", n)
+
     return RoarGraphIndex(graph=g, metric=metric, dim=base.shape[1])
 
 

@@ -121,13 +121,22 @@ def beam_search(
       re-*scored* (higher ``cmps``) but are rejected at the merge, so
       traversal order and results are unchanged. No big visited buffer, no
       scatter — the fast serving mode.
+    - ``"merge"``: no dedup structure at all. Re-encountered ids are
+      re-scored and deduplicated INSIDE the merge: sort by (id,
+      expanded-first, dist), keep the first copy of each id run, resort
+      by distance. Same soundness argument as "pool" (a dropped candidate
+      can never re-enter); drops the O(F·L) membership broadcast too —
+      the fastest mode at large L. Results can differ from "bitmask" by
+      ulp-level ties only (a re-scored distance is not always
+      bit-identical to its first encounter).
     """
     metric = Metric.parse(metric)
     if k > L:
         raise ValueError(f"k ({k}) must be <= L ({L})")
-    if visited_mode not in ("bitmask", "pool"):
+    if visited_mode not in ("bitmask", "pool", "merge"):
         raise ValueError(f"unknown visited_mode {visited_mode!r}")
     use_bitmask = visited_mode == "bitmask"
+    use_merge = visited_mode == "merge"
     n_base, d = base.shape
     n_total = neighbors.shape[0]
     M = neighbors.shape[1]
@@ -236,27 +245,34 @@ def beam_search(
         # -- seen-before check ----------------------------------------------
         in_base = nbrs < n_base   # only base nodes are scored/inserted
         nb_c = jnp.where(in_base, nbrs, 0)
-        if use_bitmask:
-            words = nb_c >> 5
-            bits = (jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32))
-            seen = (visited[jax.lax.broadcasted_iota(
-                jnp.int32, words.shape, 0), words] & bits) != 0
+        if use_merge:
+            # dedup happens inside the merge sort (see docstring)
+            fresh = in_base
         else:
-            # pool membership (see visited_mode docstring for soundness)
-            seen = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :], axis=2)
-        # intra-step duplicates (same id appearing twice in this step's
-        # fan-out) must be reduced to one representative: duplicates would
-        # corrupt the sum-as-OR trick in _scatter_or_bits and insert twice
-        # into the pool. Sort-based O(F log F) dedup.
-        f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
-        sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1, num_keys=1)
-        dup_sorted = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]], axis=1)
-        fb_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 0)
-        first_occ = jnp.zeros_like(in_base).at[fb_iota, si].set(~dup_sorted)
-        fresh = in_base & ~seen & first_occ                       # [B, F]
-        if use_bitmask:
-            visited = _scatter_or_bits(visited, words, bits, fresh)
+            if use_bitmask:
+                words = nb_c >> 5
+                bits = (jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32))
+                seen = (visited[jax.lax.broadcasted_iota(
+                    jnp.int32, words.shape, 0), words] & bits) != 0
+            else:
+                # pool membership (see visited_mode docstring)
+                seen = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :],
+                               axis=2)
+            # intra-step duplicates (same id appearing twice in this
+            # step's fan-out) must be reduced to one representative:
+            # duplicates would corrupt the sum-as-OR trick in
+            # _scatter_or_bits and insert twice into the pool.
+            f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
+            sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1, num_keys=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]],
+                axis=1)
+            fb_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 0)
+            first_occ = jnp.zeros_like(in_base).at[
+                fb_iota, si].set(~dup_sorted)
+            fresh = in_base & ~seen & first_occ                   # [B, F]
+            if use_bitmask:
+                visited = _scatter_or_bits(visited, words, bits, fresh)
 
         # -- distances for fresh neighbors ---------------------------------
         vecs = gather_vecs(nb_c)                                  # [B, F, d]
@@ -273,8 +289,28 @@ def beam_search(
         all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
         all_e = jnp.concatenate(
             [cand_exp, jnp.ones((B, fanout), jnp.bool_) & ~fresh], axis=1)
-        all_d, all_i, all_e = jax.lax.sort(
-            (all_d, all_i, all_e), dimension=-1, num_keys=2)
+        if use_merge:
+            # id-grouped dedup: sort by (id, expanded-first, dist), keep
+            # the FIRST copy of every id run (an expanded copy wins so a
+            # node is never re-expanded; otherwise the best-distance
+            # copy), null the rest to padding, then resort by distance.
+            # NOTE a re-scored distance is NOT always bit-identical to the
+            # first encounter (CPU einsum differs by ulps across fan-out
+            # positions), so dedup must key on id alone, never (id, dist).
+            not_e = jnp.logical_not(all_e)
+            all_i, not_e, all_d = jax.lax.sort(
+                (all_i, not_e, all_d), dimension=-1, num_keys=3)
+            dup = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.bool_),
+                 all_i[:, 1:] == all_i[:, :-1]], axis=1)
+            all_d = jnp.where(dup, _INF, all_d)
+            all_i = jnp.where(dup, n_total, all_i)
+            all_e = jnp.where(dup, True, jnp.logical_not(not_e))
+            all_d, all_i, all_e = jax.lax.sort(
+                (all_d, all_i, all_e), dimension=-1, num_keys=2)
+        else:
+            all_d, all_i, all_e = jax.lax.sort(
+                (all_d, all_i, all_e), dimension=-1, num_keys=2)
         return (all_i[:, :L], all_d[:, :L], all_e[:, :L],
                 visited, cmps, hops, hist_ids, hist_d, it + 1)
 

@@ -1,0 +1,231 @@
+"""Fused neighbor-block search — one row gather per hop.
+
+Measured on v5e: random-row gathers cap at ~15M rows/s regardless of row
+width (row-count-bound, not byte-bound), so the classic traversal —
+gathering M neighbor VECTORS per expansion — costs M rows/hop and caps
+graph QPS around 15M/(hops·M). This engine stores each node's neighbor
+vectors INLINE, int8-quantized: ``packed [N, M, d] int8`` + per-neighbor
+scales, so an expansion gathers ONE contiguous row (M·d bytes) — an
+M-fold row-count reduction (the DiskANN trick of PQ-in-RAM traversal +
+exact rerank, re-shaped for TPU row economics).
+
+Traversal distances are int8-approximate; the final top-k is re-ranked
+with exact f32 distances (small gather of k·oversample rows/query), so
+reported dists are exact and recall loss from quantization is confined
+to pool-boundary candidates.
+
+Memory: N·M·d bytes (int8) — e.g. 8 GB for 1M nodes at width 64, d=128.
+This is a serving accelerator for indexes that fit; the plain `Searcher`
+remains the general path.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import TYPE_CHECKING, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mysteryann_tpu.ops.distances import Metric, prepare_vectors
+from mysteryann_tpu.search.beam import _INF
+
+if TYPE_CHECKING:
+    from mysteryann_tpu.graph.roargraph import RoarGraphIndex
+
+
+@partial(jax.jit, static_argnames=("k", "L", "metric", "max_hops", "n_base"))
+def _fused_beam(packed, scales, nbr_ids, base, eps, q, k: int, L: int,
+                metric: Metric, max_hops: int, n_base: int):
+    B, d = q.shape
+    M = nbr_ids.shape[1]
+    n_total = n_base + 1  # one sentinel row appended to packed tensors
+
+    # seed
+    E = eps.shape[0]
+    ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
+    ep_v = jnp.take(base, ep_ids.reshape(-1), axis=0).reshape(B, E, d)
+    ep_ip = jnp.einsum("bd,bed->be", q, ep_v,
+                       preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        ep_d = -ep_ip
+    else:
+        ep_d = (jnp.sum(q * q, 1, keepdims=True) - 2 * ep_ip
+                + jnp.sum(ep_v * ep_v, 2))
+    pad = L - E
+    cand_ids = jnp.concatenate(
+        [ep_ids, jnp.full((B, pad), n_total, jnp.int32)], axis=1)
+    cand_d = jnp.concatenate([ep_d, jnp.full((B, pad), _INF)], axis=1)
+    cand_exp = jnp.concatenate(
+        [jnp.zeros((B, E), jnp.bool_), jnp.ones((B, pad), jnp.bool_)], axis=1)
+    cand_d, cand_ids, cand_exp = jax.lax.sort(
+        (cand_d, cand_ids, cand_exp), dimension=-1, num_keys=2)
+
+    if metric == Metric.L2:
+        q_sq = jnp.sum(q * q, axis=1, keepdims=True)
+
+    def cond(st):
+        return jnp.logical_and(jnp.any(~st[2]), st[-1] < max_hops)
+
+    def body(st):
+        cand_ids, cand_d, cand_exp, cmps, hops, it = st
+        unexp = ~cand_exp
+        has = jnp.any(unexp, axis=1)
+        sel = jnp.argmax(unexp, axis=1)
+        b_i = jnp.arange(B)
+        cur = jnp.where(has, cand_ids[b_i, sel], n_base)  # n_base = sentinel row
+        cand_exp = cand_exp.at[b_i, jnp.where(has, sel, L)].set(
+            True, mode="drop")
+
+        # THE gather: one packed row per query
+        cur_c = jnp.minimum(cur, n_base)
+        block = jnp.take(packed, cur_c, axis=0)            # [B, M, d] int8
+        sc = jnp.take(scales, cur_c, axis=0)               # [B, M] f32
+        nbrs = jnp.take(nbr_ids, cur_c, axis=0)            # [B, M] i32
+
+        ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        ip = ip_q * sc
+        if metric in (Metric.IP, Metric.COSINE):
+            nd = -ip
+        else:
+            # ||v||^2 folded into scales' companion is avoided by storing
+            # normalized-scale rows; recompute via int8 self-dot
+            vn = jnp.einsum("bmd,bmd->bm", block.astype(jnp.bfloat16),
+                            block.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * sc * sc
+            nd = q_sq - 2.0 * ip + vn
+
+        # No membership test, no pre-dedup: a re-encountered id is simply
+        # re-scored and killed by the id-grouped dedup in the merge below
+        # (an id quantized in two source blocks scores differently per
+        # path; the kept copy is the expanded one, else the best-scoring
+        # one). Dropped candidates provably cannot re-enter the pool
+        # (monotone L-th key, see beam.py) — and the O(F·L) membership
+        # broadcast (measured ~9 ms/step at B=8192, L=400) disappears.
+        fresh = nbrs < n_base
+        nd = jnp.where(fresh, nd, _INF)
+        new_ids = jnp.where(fresh, nbrs, n_total)
+        cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+        hops = hops + has.astype(jnp.int32)
+
+        all_d = jnp.concatenate([cand_d, nd], axis=1)
+        all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
+        # id-grouped dedup (see beam.py merge mode): sort by (id,
+        # expanded-first, dist), keep the FIRST copy of every id run (an
+        # expanded copy wins so a node is never re-expanded; otherwise the
+        # best int8-path distance), null the rest to padding, resort by
+        # distance. Padding entries (~fresh) enter pre-expanded so they
+        # never drive the loop.
+        all_e = jnp.concatenate([cand_exp, ~fresh], axis=1)
+        not_e = jnp.logical_not(all_e)
+        all_i, not_e, all_d = jax.lax.sort(
+            (all_i, not_e, all_d), dimension=-1, num_keys=3)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.bool_),
+             all_i[:, 1:] == all_i[:, :-1]], axis=1)
+        all_d = jnp.where(dup, _INF, all_d)
+        all_i = jnp.where(dup, n_total, all_i)
+        all_e = jnp.where(dup, True, jnp.logical_not(not_e))
+        all_d, all_i, all_e = jax.lax.sort(
+            (all_d, all_i, all_e), dimension=-1, num_keys=2)
+        return (all_i[:, :L], all_d[:, :L], all_e[:, :L], cmps, hops, it + 1)
+
+    st = (cand_ids, cand_d, cand_exp, jnp.full((B,), E, jnp.int32),
+          jnp.zeros((B,), jnp.int32), jnp.int32(0))
+    cand_ids, cand_d, _, cmps, hops, _ = jax.lax.while_loop(cond, body, st)
+
+    # exact f32 rerank of the pool head. The pool may carry the same id
+    # twice with slightly different int8-path distances (a node quantized
+    # in two different source blocks), so dedup by id here.
+    kk = min(L, max(2 * k, k + 8))
+    top_ids = jnp.minimum(cand_ids[:, :kk], n_base - 1)
+    valid = cand_ids[:, :kk] < n_base
+    vecs = jnp.take(base, top_ids.reshape(-1), axis=0).reshape(B, kk, d)
+    ip = jnp.einsum("bd,bkd->bk", q, vecs, preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        ed = -ip
+    else:
+        ed = q_sq - 2.0 * ip + jnp.sum(vecs * vecs, 2)
+    ed = jnp.where(valid, ed, _INF)
+    ed, ei = jax.lax.sort((ed, cand_ids[:, :kk]), dimension=-1, num_keys=2)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.bool_), ei[:, 1:] == ei[:, :-1]], axis=1)
+    ed = jnp.where(dup, _INF, ed)
+    ed, ei = jax.lax.sort((ed, ei), dimension=-1, num_keys=2)
+    return ei[:, :k], ed[:, :k], cmps, hops
+
+
+class FusedSearcher:
+    """Serving engine over inline int8 neighbor blocks."""
+
+    def __init__(self, index: "RoarGraphIndex", base: np.ndarray,
+                 chunk: int = 65536):
+        self.metric = index.metric
+        self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
+        n, d = self.base.shape
+        nb = index.graph.neighbors
+        M = nb.shape[1]
+        self.eps = jnp.asarray([index.graph.ep], jnp.int32)
+        self.n_base = n
+
+        # pack neighbor vectors int8 (+ sentinel row at index n)
+        packed = np.zeros((n + 1, M, d), np.int8)
+        scales = np.zeros((n + 1, M), np.float32)
+        ids = np.full((n + 1, M), n + 1, np.int32)
+        base_host = np.asarray(self.base)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            rows = nb[s:e]
+            valid = rows < n
+            v = base_host[np.minimum(rows, n - 1)]             # [c, M, d]
+            amax = np.abs(v).max(axis=2)
+            sc = np.where(valid, amax / 127.0, 0.0).astype(np.float32)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qv = np.where(sc[..., None] > 0, v / sc[..., None], 0.0)
+            packed[s:e] = np.clip(np.rint(qv), -127, 127).astype(np.int8)
+            scales[s:e] = sc
+            ids[s:e] = np.where(valid, rows, n)  # n = sentinel packed row
+        self.packed = jnp.asarray(packed)
+        self.scales = jnp.asarray(scales)
+        self.nbr_ids = jnp.asarray(ids)
+
+    def search(self, queries: np.ndarray, k: int, L: int,
+               query_batch: int = 8192, max_hops: int = 0,
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        if not isinstance(queries, jax.Array):
+            queries = np.asarray(queries, np.float32)
+        q = prepare_vectors(queries, self.metric)
+        nq, d = q.shape
+        qb = min(query_batch, nq)
+        pad = (-nq) % qb
+        if pad:
+            q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
+        mh = max_hops or 4 * L + 32
+        outs = []
+        for s in range(0, nq + pad, qb):
+            outs.append(_fused_beam(
+                self.packed, self.scales, self.nbr_ids, self.base, self.eps,
+                jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
+                metric=self.metric, max_hops=mh, n_base=self.n_base))
+        ids = np.concatenate([np.asarray(o[0]) for o in outs])[:nq]
+        dists = np.concatenate([np.asarray(o[1]) for o in outs])[:nq]
+        cmps = np.concatenate([np.asarray(o[2]) for o in outs])[:nq]
+        hops = np.concatenate([np.asarray(o[3]) for o in outs])[:nq]
+        return ids.astype(np.int32), dists, cmps, hops
+
+    def benchmark(self, queries: np.ndarray, k: int, L: int,
+                  query_batch: int = 8192, warmup: int = 1) -> dict:
+        q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
+        qb = min(query_batch, q.shape[0])
+        for _ in range(warmup):
+            self.search(q[:qb], k, L, query_batch=qb)
+        t0 = time.perf_counter()
+        ids, dists, cmps, hops = self.search(q, k, L, query_batch=qb)
+        dt = time.perf_counter() - t0
+        return {"L_pq": L, "k": k, "qps": q.shape[0] / dt,
+                "avg_cmps": float(cmps.mean()), "avg_hops": float(hops.mean()),
+                "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
+                "ids": ids, "dists": dists}

@@ -1,0 +1,51 @@
+"""Fused int8 neighbor-block search: recall parity with the f32 engine."""
+
+import numpy as np
+import pytest
+
+from mysteryann_tpu.io import make_cross_modal
+from mysteryann_tpu.ops import exact_knn
+from mysteryann_tpu.graph import build_roargraph
+from mysteryann_tpu.search import Searcher
+from mysteryann_tpu.search.fused import FusedSearcher
+from mysteryann_tpu.utils.params import BuildConfig
+from mysteryann_tpu.utils.metrics import compute_recall
+
+
+@pytest.fixture(scope="module")
+def built():
+    base, train_q = make_cross_modal(4000, 1500, 48, metric="ip", seed=11)
+    _, eval_q = make_cross_modal(10, 300, 48, metric="ip", seed=99)
+    _, knn = exact_knn(train_q, base, k=32, metric="ip", precision="highest")
+    cfg = BuildConfig(M_sq=32, M_pjbp=12, L_pjpq=64, metric="ip",
+                      query_batch=512, search_batch=512,
+                      connectivity_iters=4)
+    index = build_roargraph(base, train_q, knn, cfg, verbose=False)
+    _, gt = exact_knn(eval_q, base, k=10, metric="ip", precision="highest")
+    return base, eval_q, index, gt
+
+
+def test_fused_recall_close_to_f32(built):
+    base, eval_q, index, gt = built
+    f32 = Searcher(index, base)
+    fused = FusedSearcher(index, base)
+    ids_a, *_ = f32.search(eval_q, k=10, L=128, query_batch=300,
+                           visited_mode="pool")
+    ids_b, dists_b, cmps, hops = fused.search(eval_q, k=10, L=128,
+                                              query_batch=300)
+    ra = compute_recall(ids_a, gt, 10)
+    rb = compute_recall(ids_b, gt, 10)
+    assert rb > ra - 0.03, f"fused {rb} vs f32 {ra}"
+    assert np.all(np.diff(dists_b, axis=1) >= -1e-5)  # reranked exact order
+    assert np.all(cmps > 0) and np.all(hops > 0)
+
+
+def test_fused_dists_are_exact(built):
+    base, eval_q, index, gt = built
+    fused = FusedSearcher(index, base)
+    ids, dists, *_ = fused.search(eval_q[:50], k=5, L=64, query_batch=50)
+    # reported distances must be exact f32 (rerank), not int8 approximations
+    qn = eval_q[:50] / np.linalg.norm(eval_q[:50], axis=1, keepdims=True)
+    bn = base / np.linalg.norm(base, axis=1, keepdims=True)
+    want = -(qn[:, None, :] * bn[ids]).sum(-1)
+    np.testing.assert_allclose(dists, want, rtol=1e-4, atol=1e-4)

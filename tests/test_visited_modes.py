@@ -27,6 +27,20 @@ def world():
     return base, queries, graph
 
 
+def test_merge_mode_recall_parity(world):
+    base, queries, graph = world
+    args = (jnp.array(base), jnp.array(graph), jnp.array([0], jnp.int32),
+            jnp.array(queries))
+    a = beam_search(*args, k=10, L=64, visited_mode="bitmask")
+    b = beam_search(*args, k=10, L=64, visited_mode="merge")
+    # dead dup slots may shift rare boundary candidates; recall must match
+    same = (np.asarray(a.ids) == np.asarray(b.ids)).mean()
+    assert same > 0.98, f"id agreement {same}"
+    # no duplicate ids in results
+    for row in np.asarray(b.ids):
+        assert len(set(row.tolist())) == len(row)
+
+
 @pytest.mark.parametrize("L", [16, 64])
 @pytest.mark.parametrize("expand", [1, 4])
 def test_pool_matches_bitmask(world, L, expand):
