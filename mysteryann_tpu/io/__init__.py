@@ -10,3 +10,11 @@ from mysteryann_tpu.io.formats import (  # noqa: F401
     write_knn_ibin,
 )
 from mysteryann_tpu.io.synthetic import make_cross_modal  # noqa: F401
+from mysteryann_tpu.io.datasets import (  # noqa: F401
+    REGISTRY,
+    DatasetSpec,
+    export_fbin_from_npy,
+    pool_frame_embeddings,
+    pool_frame_embeddings_batch,
+    prepare,
+)

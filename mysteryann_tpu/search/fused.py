@@ -158,6 +158,25 @@ def _fused_beam(packed, scales, nbr_ids, base, eps, q, k: int, L: int,
     return ei[:, :k], ed[:, :k], cmps, hops
 
 
+@partial(jax.jit, static_argnames=("n_base",))
+def _pack_chunk(base, rows, n_base: int):
+    """Quantize one chunk of neighbor blocks on device.
+
+    rows int32 [c, M] (sentinel >= n_base) → (packed int8 [c, M, d],
+    scales f32 [c, M], ids int32 [c, M] with sentinel remapped to the
+    sentinel packed row n_base).
+    """
+    valid = rows < n_base
+    v = jnp.take(base, jnp.minimum(rows, n_base - 1), axis=0)   # [c, M, d]
+    amax = jnp.max(jnp.abs(v), axis=2)
+    sc = jnp.where(valid, amax / 127.0, 0.0)
+    qv = jnp.where(sc[..., None] > 0, v / jnp.maximum(sc, 1e-30)[..., None],
+                   0.0)
+    packed = jnp.clip(jnp.rint(qv), -127, 127).astype(jnp.int8)
+    ids = jnp.where(valid, rows, n_base)
+    return packed, sc, ids
+
+
 class FusedSearcher:
     """Serving engine over inline int8 neighbor blocks."""
 
@@ -166,31 +185,34 @@ class FusedSearcher:
         self.metric = index.metric
         self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
         n, d = self.base.shape
-        nb = index.graph.neighbors
+        nb = np.asarray(index.graph.neighbors)
         M = nb.shape[1]
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
         self.n_base = n
 
-        # pack neighbor vectors int8 (+ sentinel row at index n)
-        packed = np.zeros((n + 1, M, d), np.int8)
-        scales = np.zeros((n + 1, M), np.float32)
-        ids = np.full((n + 1, M), n + 1, np.int32)
-        base_host = np.asarray(self.base)
+        # pack neighbor vectors int8 on DEVICE (the base is already in
+        # HBM; only graph ids cross the host link), chunked so the f32
+        # gather scratch stays bounded. Chunks are written into
+        # preallocated buffers via DONATED dynamic_update_slice — a
+        # concatenate would transiently double the (N·M·d)-byte tensor
+        # and OOM a 16 GB chip at 1M x 64 x 128. Row n is the zero
+        # sentinel; the buffer defaults already encode it.
+        fill = jax.jit(
+            lambda b, c, s: jax.lax.dynamic_update_slice_in_dim(b, c, s, 0),
+            donate_argnums=(0,))
+        packed = jnp.zeros((n + 1, M, d), jnp.int8)
+        scales = jnp.zeros((n + 1, M), jnp.float32)
+        ids = jnp.full((n + 1, M), n + 1, jnp.int32)
         for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            rows = nb[s:e]
-            valid = rows < n
-            v = base_host[np.minimum(rows, n - 1)]             # [c, M, d]
-            amax = np.abs(v).max(axis=2)
-            sc = np.where(valid, amax / 127.0, 0.0).astype(np.float32)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                qv = np.where(sc[..., None] > 0, v / sc[..., None], 0.0)
-            packed[s:e] = np.clip(np.rint(qv), -127, 127).astype(np.int8)
-            scales[s:e] = sc
-            ids[s:e] = np.where(valid, rows, n)  # n = sentinel packed row
-        self.packed = jnp.asarray(packed)
-        self.scales = jnp.asarray(scales)
-        self.nbr_ids = jnp.asarray(ids)
+            rows = jnp.asarray(nb[s:s + chunk].astype(np.int32))
+            p, c, i = _pack_chunk(self.base, rows, n_base=n)
+            off = jnp.int32(s)
+            packed = fill(packed, p, off)
+            scales = fill(scales, c, off)
+            ids = fill(ids, i, off)
+        self.packed = packed
+        self.scales = scales
+        self.nbr_ids = ids
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 8192, max_hops: int = 0,
