@@ -22,6 +22,7 @@ Scaling: O(N) per query — right up to ~10M/chip; shard the base over
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -29,18 +30,51 @@ import jax.numpy as jnp
 import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
-from mysteryann_tpu.ops.knn import exact_knn_device
+from mysteryann_tpu.ops.gather import gather_rows
+from mysteryann_tpu.ops.knn import (exact_knn_device, int8_knn_device,
+                                    quantize_rows_int8)
+
+
+@partial(jax.jit, static_argnames=("k", "metric"))
+def _rerank_f32(base, q, cand_i, k: int, metric: Metric):
+    """Exact f32 rescoring of per-query candidate ids (pallas gather)."""
+    B, kk = cand_i.shape
+    d = base.shape[1]
+    vecs = gather_rows(base, cand_i.reshape(-1)).reshape(B, kk, d)
+    ip = jnp.einsum("bd,bkd->bk", q, vecs, preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        dists = -ip
+    else:
+        dists = (jnp.sum(q * q, 1, keepdims=True) - 2.0 * ip
+                 + jnp.sum(vecs * vecs, 2))
+    neg, pos = jax.lax.top_k(-dists, k)
+    return -neg, jnp.take_along_axis(cand_i, pos, axis=1)
 
 
 class FlatIndex:
-    """Device-resident exact-search index."""
+    """Device-resident exact-search index.
+
+    ``precision="int8"`` scans with per-row symmetric int8 on the MXU
+    (2x the bf16 rate, 4x less HBM traffic) and reranks the
+    k·oversample head with exact f32 — reported distances stay exact,
+    recall loss is confined to scan-boundary candidates the oversample
+    absorbs.
+    """
 
     def __init__(self, base: np.ndarray, metric: Metric | str = Metric.IP,
-                 tile: int = 262144, oversample: int = 2):
+                 tile: int = 262144, oversample: int = 2,
+                 precision: str = "f32"):
+        if precision not in ("f32", "int8"):
+            raise ValueError(f"unknown precision {precision!r}")
         self.metric = Metric.parse(metric)
+        self.precision = precision
         self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
         self.tile = min(tile, self.base.shape[0])
         self.oversample = oversample
+        if precision == "int8":
+            self.base_i8, self.base_scale = quantize_rows_int8(self.base)
+            self.base_norm = (jnp.sum(self.base * self.base, axis=1)
+                              if self.metric == Metric.L2 else None)
 
     @property
     def n_base(self) -> int:
@@ -64,10 +98,20 @@ class FlatIndex:
         kk = min(k * self.oversample, self.n_base)
         outs = []
         for s in range(0, nq + pad, qb):
-            dd, ii = exact_knn_device(
-                jax.lax.dynamic_slice_in_dim(q, s, qb), self.base, k=kk,
-                metric=self.metric, tile=self.tile, approx=True)
-            outs.append((ii[:, :k], dd[:, :k]))
+            qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
+            if self.precision == "int8":
+                _, ii = int8_knn_device(
+                    qs, self.base_i8, self.base_scale, k=kk,
+                    metric=self.metric, tile=self.tile,
+                    base_norm=self.base_norm)
+                dd, ii = _rerank_f32(self.base, qs,
+                                     jnp.maximum(ii, 0), k, self.metric)
+                outs.append((ii, dd))
+            else:
+                dd, ii = exact_knn_device(
+                    qs, self.base, k=kk,
+                    metric=self.metric, tile=self.tile, approx=True)
+                outs.append((ii[:, :k], dd[:, :k]))
         out_i = np.concatenate([np.asarray(o[0]) for o in outs])[:nq]
         out_d = np.concatenate([np.asarray(o[1]) for o in outs])[:nq]
         return out_i.astype(np.int32), out_d

@@ -1,0 +1,113 @@
+"""Pallas dynamic row gather — DMA-driven, bandwidth-bound.
+
+XLA's native gather on TPU lowers to a serialized per-row loop that
+measures ~1.7 GB/s effective on a v5e — 2+ orders of magnitude under
+HBM bandwidth — which makes graph traversal gather-bound (see
+search/fused.py). This kernel replaces `jnp.take(table, idx, axis=0)`
+with scalar-prefetched indices driving one async DMA per row from the
+HBM-resident table into the VMEM output block: the DMA engine runs the
+copies concurrently, so throughput approaches the row-size × descriptor
+-rate envelope instead of XLA's serial gather.
+
+The table never enters VMEM wholesale (memory_space=ANY keeps it in
+HBM); only gathered rows land on-chip. Indices must be in [0, N) —
+clamp on the caller side (sentinel handling is the engines' job).
+
+Measured on a v5e (vs jnp.take on identical inputs):
+- f32 [1M, 128] rows (512 B):   19.4 M rows/s,  9.9 GB/s  (take: 3.4 M, 1.7)
+- int8 [1M, 64, 128] (8 KB):     4.9 M rows/s, 40 GB/s    (take: ~0.2 M, 1.7)
+i.e. descriptor-bound ~20 M rows/s for thin rows, ~40 GB/s for fat rows
+— a 6-23x speedup on the traversal gathers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# scalar-prefetch stages the whole per-call index vector in SMEM (~1 MB);
+# calls larger than this are chunked by the wrapper
+_MAX_PREFETCH_ROWS = 65536
+
+
+def _gather_kernel(idx_ref, table_ref, out_ref, sems):
+    """One grid step gathers BLK rows: start BLK DMAs, wait for all."""
+    blk = out_ref.shape[0]
+    base = pl.program_id(0) * blk
+
+    def start(i, _):
+        r = idx_ref[base + i]
+        pltpu.make_async_copy(table_ref.at[r], out_ref.at[i],
+                              sems.at[i]).start()
+        return _
+
+    jax.lax.fori_loop(0, blk, start, 0)
+
+    def wait(i, _):
+        r = idx_ref[base + i]
+        pltpu.make_async_copy(table_ref.at[r], out_ref.at[i],
+                              sems.at[i]).wait()
+        return _
+
+    jax.lax.fori_loop(0, blk, wait, 0)
+
+
+def _gather_call(table, idx_p, block: int, interpret: bool):
+    bp = idx_p.shape[0]
+    row_shape = table.shape[1:]
+    return pl.pallas_call(
+        _gather_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bp // block,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (block,) + row_shape,
+                lambda g, idx_ref: (g,) + (0,) * len(row_shape)),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((block,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bp,) + row_shape, table.dtype),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx_p, table)
+
+
+@partial(jax.jit, static_argnames=("block", "interpret"))
+def gather_rows(table: jax.Array, idx: jax.Array,
+                block: int = 256, interpret: bool = False) -> jax.Array:
+    """`table[idx]` for table [N, ...] (≥2D), idx int32 [B] in [0, N).
+
+    Drop-in for `jnp.take(table, idx, axis=0)` on TPU. B is padded to a
+    multiple of `block` internally (the pad gathers row 0 and is sliced
+    off) and chunked at 64k rows per pallas call (SMEM budget for the
+    prefetched index vector). On non-TPU backends falls back to jnp.take
+    (pallas DMA is TPU-only); `interpret=True` forces the kernel through
+    the pallas interpreter instead (CPU correctness tests).
+    """
+    if table.ndim < 2:
+        raise ValueError("table must be at least 2D")
+    if block > 256:
+        # one DMA semaphore per in-flight row; the TPU sync-flag space
+        # (sflag, 2 KB) holds at most ~500 — 512 semaphores overflow it
+        raise ValueError("block must be <= 256 (sflag capacity)")
+    if jax.devices()[0].platform != "tpu" and not interpret:
+        return jnp.take(table, idx, axis=0)
+
+    (b,) = idx.shape
+    bp = -(-b // block) * block
+    idx_p = jnp.zeros((bp,), jnp.int32).at[:b].set(idx.astype(jnp.int32))
+
+    chunk = max(block, (_MAX_PREFETCH_ROWS // block) * block)
+    if bp <= chunk:
+        out = _gather_call(table, idx_p, block, interpret)
+    else:
+        pieces = []
+        for s in range(0, bp, chunk):
+            e = min(s + chunk, bp)
+            pieces.append(_gather_call(table, idx_p[s:e], block, interpret))
+        out = jnp.concatenate(pieces, axis=0)
+    return out[:b]

@@ -139,3 +139,80 @@ def compute_ground_truth(
     """
     d, i = exact_knn(queries, base, k, metric=metric, precision="highest", **kw)
     return i.astype(np.uint32), d
+
+
+def quantize_rows_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: x ≈ q * scale[:, None]."""
+    amax = jnp.max(jnp.abs(x), axis=1)
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.rint(x / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "tile"))
+def int8_knn_device(
+    queries: jax.Array,      # f32 [B, d] (metric-preprocessed)
+    base_i8: jax.Array,      # int8 [N, d]
+    base_scale: jax.Array,   # f32 [N]
+    k: int,
+    metric: Metric = Metric.IP,
+    tile: int = 131072,
+    base_norm: jax.Array | None = None,   # f32 [N] ||b||² (L2 only)
+) -> Tuple[jax.Array, jax.Array]:
+    """Approximate kNN via an int8 MXU scan (s8 x s8 → s32 at 2x the bf16
+    rate, and 4x less HBM traffic than an f32 scan). Same tiled running
+    top-k structure as `exact_knn_device`; scores carry per-row
+    quantization error (~0.5% relative), so callers rerank the head in
+    f32 — see `FlatIndex(precision="int8")`.
+    """
+    metric = Metric.parse(metric)
+    nb, d = base_i8.shape
+    tile = min(tile, nb)
+    n_tiles = -(-nb // tile)
+    pad = n_tiles * tile - nb
+    if pad:
+        base_i8 = jnp.pad(base_i8, ((0, pad), (0, 0)))
+        base_scale = jnp.pad(base_scale, (0, pad))
+        if base_norm is not None:
+            base_norm = jnp.pad(base_norm, (0, pad))
+    base_t = base_i8.reshape(n_tiles, tile, d)
+    scale_t = base_scale.reshape(n_tiles, tile)
+    norm_t = (base_norm.reshape(n_tiles, tile)
+              if base_norm is not None else jnp.zeros((n_tiles, 1)))
+    kk = min(k, tile)
+
+    q_i8, q_scale = quantize_rows_int8(queries)
+    if metric == Metric.L2:
+        q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        tile_b, tile_s, tile_n, t_idx = inp
+        s32 = jax.lax.dot_general(
+            q_i8, tile_b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)            # [B, tile]
+        ip = (s32.astype(jnp.float32) * q_scale[:, None]) * tile_s[None, :]
+        if metric in (Metric.IP, Metric.COSINE):
+            dists = -ip
+        else:
+            dists = q_sq - 2.0 * ip + tile_n[None, :]
+        col0 = t_idx * tile
+        col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1) + col0
+        dists = jnp.where(col < nb, dists, _INF)
+        t_d, t_pos = jax.lax.approx_min_k(dists, k=kk)
+        t_i = t_pos.astype(jnp.int32) + col0
+        cat_d = jnp.concatenate([best_d, t_d], axis=1)
+        cat_i = jnp.concatenate([best_i, t_i], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+
+    init = (
+        jnp.full((queries.shape[0], k), _INF, jnp.float32),
+        jnp.full((queries.shape[0], k), -1, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(
+        step, init,
+        (base_t, scale_t,
+         jnp.broadcast_to(norm_t, (n_tiles, tile)),
+         jnp.arange(n_tiles, dtype=jnp.int32)))
+    return best_d, best_i

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from mysteryann_tpu.ops.distances import Metric
+from mysteryann_tpu.ops.gather import gather_rows
 
 _INF = jnp.float32(jnp.inf)
 
@@ -149,8 +150,9 @@ def beam_search(
     if base_sqnorm is None and metric == Metric.L2:
         base_sqnorm = jnp.sum(base * base, axis=-1)
 
-    def gather_vecs(ids):  # ids int32 [...], clamped gather
-        return jnp.take(base, jnp.minimum(ids, n_base - 1), axis=0)
+    def gather_vecs(ids):  # ids int32 [...], clamped pallas DMA gather
+        flat = jnp.minimum(ids, n_base - 1).reshape(-1)
+        return gather_rows(base, flat).reshape(ids.shape + (d,))
 
     # ---- seed pool with entry points -------------------------------------
     ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
@@ -228,14 +230,17 @@ def beam_search(
             hist_d = hist_d.at[b_iota, pos].set(cur_d, mode="drop")
         cand_exp = cand_exp.at[b_iota, sel_set].set(True, mode="drop")
 
-        # -- gather neighbor rows ------------------------------------------
+        # -- gather neighbor rows (pallas DMA gather) -----------------------
         cur_c = jnp.minimum(cur, n_total - 1)
-        nbrs = jnp.take(neighbors, cur_c, axis=0)                 # [B, e, M]
+        e_sel = cur_c.shape[1]
+        nbrs = gather_rows(neighbors, cur_c.reshape(-1)).reshape(
+            B, e_sel, M)                                          # [B, e, M]
         nbrs = jnp.where((cur < n_total)[:, :, None], nbrs, n_total)
         if two_hop:
             # expand neighbors-of-neighbors: base→query→base
             n1 = jnp.minimum(nbrs, n_total - 1)
-            nbrs2 = jnp.take(neighbors, n1.reshape(B, -1), axis=0)  # [B, e*M, M]
+            nbrs2 = gather_rows(neighbors, n1.reshape(-1)).reshape(
+                B, e_sel * M, M)                                  # [B, e*M, M]
             nbrs2 = jnp.where(
                 (nbrs < n_total).reshape(B, -1, 1), nbrs2, n_total)
             nbrs = nbrs2.reshape(B, -1)                           # [B, e*M*M]
@@ -275,10 +280,11 @@ def beam_search(
                 visited = _scatter_or_bits(visited, words, bits, fresh)
 
         # -- distances for fresh neighbors ---------------------------------
+        # (L2 norms recomputed from the gathered vectors — cheap VPU work;
+        # a [B, F] element-gather from the precomputed norm table would
+        # run at XLA's serial-gather rate and dwarf the vector fetch)
         vecs = gather_vecs(nb_c)                                  # [B, F, d]
-        sq = (jnp.take(base_sqnorm, jnp.minimum(nb_c, n_base - 1), axis=0)
-              if base_sqnorm is not None else None)
-        nd = _batch_dist(queries, vecs, metric, sq)
+        nd = _batch_dist(queries, vecs, metric)
         nd = jnp.where(fresh, nd, _INF)
         new_ids = jnp.where(fresh, nbrs, n_total)
         cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)

@@ -1,20 +1,21 @@
-"""Fused neighbor-block search — one row gather per hop.
+"""Fused neighbor-block search — one DMA-gathered row per hop.
 
-Measured on v5e: random-row gathers cap at ~15M rows/s regardless of row
-width (row-count-bound, not byte-bound), so the classic traversal —
-gathering M neighbor VECTORS per expansion — costs M rows/hop and caps
-graph QPS around 15M/(hops·M). This engine stores each node's neighbor
-vectors INLINE, int8-quantized: ``packed [N, M, d] int8`` + per-neighbor
-scales, so an expansion gathers ONE contiguous row (M·d bytes) — an
-M-fold row-count reduction (the DiskANN trick of PQ-in-RAM traversal +
-exact rerank, re-shaped for TPU row economics).
+Graph traversal on TPU is gather-bound: XLA's row gather runs ~1.7 GB/s
+effective, and the classic traversal gathers M neighbor VECTORS per
+expansion. This engine (a) stores each node's neighbor vectors INLINE,
+int8-quantized, together with their scales and ids in ONE byte row —
+``[M*d int8 | M f32 scales | M i32 ids]`` — so an expansion needs a
+single row fetch; and (b) fetches rows with the pallas DMA gather
+(ops/gather.py, ~40 GB/s on 8 KB rows — 23x over jnp.take). The
+DiskANN trick of inline-PQ traversal + exact rerank, re-shaped for TPU
+row economics.
 
 Traversal distances are int8-approximate; the final top-k is re-ranked
 with exact f32 distances (small gather of k·oversample rows/query), so
 reported dists are exact and recall loss from quantization is confined
 to pool-boundary candidates.
 
-Memory: N·M·d bytes (int8) — e.g. 8 GB for 1M nodes at width 64, d=128.
+Memory: ~N·M·(d+8) bytes — e.g. 8.7 GB for 1M nodes at width 64, d=128.
 This is a serving accelerator for indexes that fit; the plain `Searcher`
 remains the general path.
 """
@@ -30,18 +31,58 @@ import jax.numpy as jnp
 import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
+from mysteryann_tpu.ops.gather import gather_rows
 from mysteryann_tpu.search.beam import _INF
 
 if TYPE_CHECKING:
     from mysteryann_tpu.graph.roargraph import RoarGraphIndex
 
 
-@partial(jax.jit, static_argnames=("k", "L", "metric", "max_hops", "n_base"))
-def _fused_beam(packed, scales, nbr_ids, base, eps, q, k: int, L: int,
-                metric: Metric, max_hops: int, n_base: int):
-    B, d = q.shape
-    M = nbr_ids.shape[1]
-    n_total = n_base + 1  # one sentinel row appended to packed tensors
+def _row_bytes(M: int, d: int) -> int:
+    r = M * d + 8 * M
+    # pad to 8 sublanes x 128 lanes: DMA slice extents of the [N, R/128,
+    # 128] table must be sublane-aligned (Mosaic: "aligned to tiling (8)")
+    return -(-r // 1024) * 1024
+
+
+@partial(jax.jit, static_argnames=("n_base", "M", "d"))
+def _pack_chunk(base, rows, n_base: int, M: int, d: int):
+    """Quantize + byte-pack one chunk of neighbor blocks on device.
+
+    rows int32 [c, M] (sentinel >= n_base) → u8 [c, R]: per-neighbor
+    symmetric int8 quant of the neighbor's vector, its f32 scale, and
+    its id (sentinel ids remapped to n_base+1 = "invalid").
+    """
+    c = rows.shape[0]
+    valid = rows < n_base
+    v = jnp.take(base, jnp.minimum(rows, n_base - 1), axis=0)   # [c, M, d]
+    amax = jnp.max(jnp.abs(v), axis=2)
+    sc = jnp.where(valid, amax / 127.0, 0.0)
+    qv = jnp.where(sc[..., None] > 0, v / jnp.maximum(sc, 1e-30)[..., None],
+                   0.0)
+    qv = jnp.clip(jnp.rint(qv), -127, 127).astype(jnp.int8)
+    ids = jnp.where(valid, rows, n_base + 1).astype(jnp.int32)
+
+    qv_b = jax.lax.bitcast_convert_type(qv, jnp.uint8).reshape(c, M * d)
+    sc_b = jax.lax.bitcast_convert_type(
+        sc.astype(jnp.float32), jnp.uint8).reshape(c, 4 * M)
+    id_b = jax.lax.bitcast_convert_type(ids, jnp.uint8).reshape(c, 4 * M)
+    row = jnp.concatenate([qv_b, sc_b, id_b], axis=1)
+    R = _row_bytes(M, d)
+    if row.shape[1] < R:
+        row = jnp.pad(row, ((0, 0), (0, R - row.shape[1])))
+    # 3D [c, R/128, 128]: single-row DMA slices of a 2D u8 table violate
+    # its (8,128) tiling; with tiles confined to the last two dims, dim 0
+    # slices at row granularity
+    return row.reshape(c, R // 128, 128)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d"))
+def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
+                max_hops: int, n_base: int, M: int, d: int):
+    B = q.shape[0]
+    n_total = n_base + 2  # sentinel node row at n_base; invalid id n_base+1
 
     # seed
     E = eps.shape[0]
@@ -75,15 +116,20 @@ def _fused_beam(packed, scales, nbr_ids, base, eps, q, k: int, L: int,
         has = jnp.any(unexp, axis=1)
         sel = jnp.argmax(unexp, axis=1)
         b_i = jnp.arange(B)
-        cur = jnp.where(has, cand_ids[b_i, sel], n_base)  # n_base = sentinel row
+        cur = jnp.where(has, cand_ids[b_i, sel], n_base)  # n_base = sentinel
         cand_exp = cand_exp.at[b_i, jnp.where(has, sel, L)].set(
             True, mode="drop")
 
-        # THE gather: one packed row per query
+        # THE gather: one packed byte row per query (pallas DMA gather)
         cur_c = jnp.minimum(cur, n_base)
-        block = jnp.take(packed, cur_c, axis=0)            # [B, M, d] int8
-        sc = jnp.take(scales, cur_c, axis=0)               # [B, M] f32
-        nbrs = jnp.take(nbr_ids, cur_c, axis=0)            # [B, M] i32
+        rows = gather_rows(table, cur_c)            # [B, R/128, 128] u8
+        rows = rows.reshape(B, -1)                  # [B, R]
+        block = jax.lax.bitcast_convert_type(
+            rows[:, :M * d].reshape(B, M, d), jnp.int8)
+        sc = jax.lax.bitcast_convert_type(
+            rows[:, M * d:M * d + 4 * M].reshape(B, M, 4), jnp.float32)
+        nbrs = jax.lax.bitcast_convert_type(
+            rows[:, M * d + 4 * M:M * d + 8 * M].reshape(B, M, 4), jnp.int32)
 
         ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -91,8 +137,6 @@ def _fused_beam(packed, scales, nbr_ids, base, eps, q, k: int, L: int,
         if metric in (Metric.IP, Metric.COSINE):
             nd = -ip
         else:
-            # ||v||^2 folded into scales' companion is avoided by storing
-            # normalized-scale rows; recompute via int8 self-dot
             vn = jnp.einsum("bmd,bmd->bm", block.astype(jnp.bfloat16),
                             block.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32) * sc * sc
@@ -137,13 +181,12 @@ def _fused_beam(packed, scales, nbr_ids, base, eps, q, k: int, L: int,
           jnp.zeros((B,), jnp.int32), jnp.int32(0))
     cand_ids, cand_d, _, cmps, hops, _ = jax.lax.while_loop(cond, body, st)
 
-    # exact f32 rerank of the pool head. The pool may carry the same id
-    # twice with slightly different int8-path distances (a node quantized
-    # in two different source blocks), so dedup by id here.
+    # exact f32 rerank of the pool head (also dedups residual id copies
+    # that entered via different int8 source blocks)
     kk = min(L, max(2 * k, k + 8))
     top_ids = jnp.minimum(cand_ids[:, :kk], n_base - 1)
     valid = cand_ids[:, :kk] < n_base
-    vecs = jnp.take(base, top_ids.reshape(-1), axis=0).reshape(B, kk, d)
+    vecs = gather_rows(base, top_ids.reshape(-1)).reshape(B, kk, d)
     ip = jnp.einsum("bd,bkd->bk", q, vecs, preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):
         ed = -ip
@@ -158,61 +201,41 @@ def _fused_beam(packed, scales, nbr_ids, base, eps, q, k: int, L: int,
     return ei[:, :k], ed[:, :k], cmps, hops
 
 
-@partial(jax.jit, static_argnames=("n_base",))
-def _pack_chunk(base, rows, n_base: int):
-    """Quantize one chunk of neighbor blocks on device.
-
-    rows int32 [c, M] (sentinel >= n_base) → (packed int8 [c, M, d],
-    scales f32 [c, M], ids int32 [c, M] with sentinel remapped to the
-    sentinel packed row n_base).
-    """
-    valid = rows < n_base
-    v = jnp.take(base, jnp.minimum(rows, n_base - 1), axis=0)   # [c, M, d]
-    amax = jnp.max(jnp.abs(v), axis=2)
-    sc = jnp.where(valid, amax / 127.0, 0.0)
-    qv = jnp.where(sc[..., None] > 0, v / jnp.maximum(sc, 1e-30)[..., None],
-                   0.0)
-    packed = jnp.clip(jnp.rint(qv), -127, 127).astype(jnp.int8)
-    ids = jnp.where(valid, rows, n_base)
-    return packed, sc, ids
-
-
 class FusedSearcher:
-    """Serving engine over inline int8 neighbor blocks."""
+    """Serving engine over inline int8 neighbor-block byte rows."""
 
     def __init__(self, index: "RoarGraphIndex", base: np.ndarray,
-                 chunk: int = 65536):
+                 chunk: int = 65536, max_degree: int = 0):
         self.metric = index.metric
         self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
         n, d = self.base.shape
         nb = np.asarray(index.graph.neighbors)
+        if max_degree and max_degree < nb.shape[1]:
+            nb = nb[:, :max_degree]  # adjacency is closest-first per node
         M = nb.shape[1]
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
-        self.n_base = n
+        self.n_base, self.M, self.d = n, M, d
+        R = _row_bytes(M, d)
 
-        # pack neighbor vectors int8 on DEVICE (the base is already in
-        # HBM; only graph ids cross the host link), chunked so the f32
-        # gather scratch stays bounded. Chunks are written into
-        # preallocated buffers via DONATED dynamic_update_slice — a
-        # concatenate would transiently double the (N·M·d)-byte tensor
-        # and OOM a 16 GB chip at 1M x 64 x 128. Row n is the zero
-        # sentinel; the buffer defaults already encode it.
+        # pack on DEVICE (the base is already in HBM; only graph ids cross
+        # the host link), chunked so the f32 gather scratch stays bounded.
+        # Chunks land in a preallocated DONATED buffer — a concatenate
+        # would transiently double the N·R tensor and OOM a 16 GB chip.
+        # Row n is the sentinel: zero vectors, invalid ids (u8 zeros
+        # bitcast to id 0 would alias node 0, so overwrite with one
+        # explicit sentinel row).
         fill = jax.jit(
             lambda b, c, s: jax.lax.dynamic_update_slice_in_dim(b, c, s, 0),
             donate_argnums=(0,))
-        packed = jnp.zeros((n + 1, M, d), jnp.int8)
-        scales = jnp.zeros((n + 1, M), jnp.float32)
-        ids = jnp.full((n + 1, M), n + 1, jnp.int32)
+        table = jnp.zeros((n + 1, R // 128, 128), jnp.uint8)
         for s in range(0, n, chunk):
             rows = jnp.asarray(nb[s:s + chunk].astype(np.int32))
-            p, c, i = _pack_chunk(self.base, rows, n_base=n)
-            off = jnp.int32(s)
-            packed = fill(packed, p, off)
-            scales = fill(scales, c, off)
-            ids = fill(ids, i, off)
-        self.packed = packed
-        self.scales = scales
-        self.nbr_ids = ids
+            p = _pack_chunk(self.base, rows, n_base=n, M=M, d=d)
+            table = fill(table, p, jnp.int32(s))
+        sent = _pack_chunk(self.base,
+                           jnp.full((1, M), n, jnp.int32), n_base=n, M=M, d=d)
+        table = fill(table, sent, jnp.int32(n))
+        self.table = table
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 8192, max_hops: int = 0,
@@ -229,9 +252,10 @@ class FusedSearcher:
         outs = []
         for s in range(0, nq + pad, qb):
             outs.append(_fused_beam(
-                self.packed, self.scales, self.nbr_ids, self.base, self.eps,
+                self.table, self.base, self.eps,
                 jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
-                metric=self.metric, max_hops=mh, n_base=self.n_base))
+                metric=self.metric, max_hops=mh, n_base=self.n_base,
+                M=self.M, d=self.d))
         ids = np.concatenate([np.asarray(o[0]) for o in outs])[:nq]
         dists = np.concatenate([np.asarray(o[1]) for o in outs])[:nq]
         cmps = np.concatenate([np.asarray(o[2]) for o in outs])[:nq]

@@ -34,3 +34,35 @@ def test_flat_benchmark_schema():
     r = idx.benchmark(q, k=5, query_batch=64)
     assert r["qps"] > 0 and r["avg_cmps"] == 1000.0
     assert r["ids"].shape == (64, 5)
+
+
+def test_flat_int8_matches_exact():
+    import numpy as np
+    from mysteryann_tpu.io import make_cross_modal
+    from mysteryann_tpu.flat import FlatIndex
+    from mysteryann_tpu.ops import compute_ground_truth
+    from mysteryann_tpu.utils.metrics import compute_recall
+
+    base, queries = make_cross_modal(4000, 200, 48, metric="ip", seed=5)
+    gt_i, _ = compute_ground_truth(queries, base, k=10, metric="ip")
+    idx = FlatIndex(base, metric="ip", precision="int8", oversample=4)
+    ids, dists = idx.search(queries, k=10, query_batch=200)
+    rec = compute_recall(ids, gt_i.astype(np.int64), 10)
+    assert rec >= 0.99, rec
+    # reported dists are exact f32 (match GT head where ids agree)
+    assert dists.dtype == np.float32
+
+
+def test_flat_int8_l2():
+    import numpy as np
+    from mysteryann_tpu.io import make_cross_modal
+    from mysteryann_tpu.flat import FlatIndex
+    from mysteryann_tpu.ops import compute_ground_truth
+    from mysteryann_tpu.utils.metrics import compute_recall
+
+    base, queries = make_cross_modal(3000, 100, 32, metric="l2", seed=6)
+    gt_i, _ = compute_ground_truth(queries, base, k=10, metric="l2")
+    idx = FlatIndex(base, metric="l2", precision="int8", oversample=4)
+    ids, _ = idx.search(queries, k=10, query_batch=100)
+    rec = compute_recall(ids, gt_i.astype(np.int64), 10)
+    assert rec >= 0.98, rec
