@@ -24,3 +24,4 @@ __version__ = "0.1.0"
 
 from mysteryann_tpu.utils.params import BuildConfig, SearchConfig, Parameters  # noqa: F401
 from mysteryann_tpu.ops.distances import Metric  # noqa: F401
+from mysteryann_tpu.index import index_kinds, get_index_cls, register_index  # noqa: F401

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mysteryann_tpu.index import register_index
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.ops.gather import gather_rows
 from mysteryann_tpu.ops.knn import (exact_knn_device, int8_knn_device,
@@ -51,6 +52,7 @@ def _rerank_f32(base, q, cand_i, k: int, metric: Metric):
     return -neg, jnp.take_along_axis(cand_i, pos, axis=1)
 
 
+@register_index("flat")
 class FlatIndex:
     """Device-resident exact-search index.
 

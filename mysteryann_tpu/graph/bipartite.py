@@ -32,9 +32,11 @@ import numpy as np
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.search.beam import beam_search
 from mysteryann_tpu.utils.params import BuildConfig
+from mysteryann_tpu.index import register_index
 
 
 @dataclasses.dataclass
+@register_index("bipartite")
 class BipartiteIndex:
     neighbors: np.ndarray   # int32 [N+Nq, W], sentinel = N+Nq
     n_base: int

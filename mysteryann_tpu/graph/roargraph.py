@@ -52,6 +52,7 @@ from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.search.beam import beam_search
 from mysteryann_tpu.utils.params import BuildConfig
 from mysteryann_tpu.utils.timers import Timer
+from mysteryann_tpu.index import register_index
 
 
 # --------------------------------------------------------------------------
@@ -60,6 +61,7 @@ from mysteryann_tpu.utils.timers import Timer
 
 
 @dataclasses.dataclass
+@register_index("roargraph")
 class RoarGraphIndex:
     graph: PaddedGraph
     metric: Metric

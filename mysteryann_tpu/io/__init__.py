@@ -8,6 +8,7 @@ from mysteryann_tpu.io.formats import (  # noqa: F401
     write_gt_with_dist,
     read_knn_ibin,
     write_knn_ibin,
+    data_align,
 )
 from mysteryann_tpu.io.synthetic import make_cross_modal  # noqa: F401
 from mysteryann_tpu.io.datasets import (  # noqa: F401

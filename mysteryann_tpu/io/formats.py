@@ -127,3 +127,21 @@ def read_knn_ibin(path: str, expected_k: int | None = None) -> np.ndarray:
 
 def write_knn_ibin(path: str, knn: np.ndarray) -> None:
     write_ibin(path, knn)
+
+
+def data_align(x: np.ndarray, multiple: int = 128) -> np.ndarray:
+    """Zero-pad the vector dimension to a hardware-friendly multiple.
+
+    Counterpart of the reference's `data_align` (reference
+    include/efanna2e/util.h:37-75), which pads dim to a multiple of 8
+    floats for AVX loads; the TPU analogue is the 128-wide lane dim.
+    Zero padding is metric-safe for L2/IP/cosine (pads contribute 0 to
+    every product/difference).
+    """
+    n, d = x.shape
+    pad = (-d) % multiple
+    if pad == 0:
+        return np.ascontiguousarray(x, np.float32)
+    out = np.zeros((n, d + pad), np.float32)
+    out[:, :d] = x
+    return out

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, pairwise_dist, prepare_vectors
+from mysteryann_tpu.index import register_index
 
 
 @partial(jax.jit, static_argnames=("metric",))
@@ -171,6 +172,7 @@ def _kmeans(x_dev, n_clusters: int, metric: Metric, iters: int,
     return centroids
 
 
+@register_index("ivf")
 class IVFIndex:
     def __init__(self, base: np.ndarray, metric: Metric | str = Metric.IP,
                  n_clusters: int = 0, cap_factor: float = 1.6,

@@ -111,3 +111,37 @@ def gather_rows(table: jax.Array, idx: jax.Array,
             pieces.append(_gather_call(table, idx_p[s:e], block, interpret))
         out = jnp.concatenate(pieces, axis=0)
     return out[:b]
+
+
+def gather_rows_any(table: jax.Array, idx: jax.Array,
+                    block: int = 256, interpret: bool = False) -> jax.Array:
+    """`table[idx]` for 2D tables of ANY row width.
+
+    DMA row slices must cover whole 128-lane tiles, so a [N, W] table
+    with W % 128 != 0 cannot be row-gathered directly. When 128 % W == 0
+    this packs g = 128/W logical rows per physical row: gather physical
+    row idx//g (one DMA, same descriptor count, ≤512 B extra bytes) and
+    lane-select half idx%g on the VPU. Otherwise falls back to jnp.take —
+    callers with hot odd-width tables should zero-pad columns to a
+    multiple of 128 at init instead (see io.formats.data_align).
+    """
+    if table.ndim != 2:
+        raise ValueError("gather_rows_any handles 2D tables")
+    n, w = table.shape
+    if w % 128 == 0:
+        return gather_rows(table, idx, block=block, interpret=interpret)
+    if 128 % w != 0:
+        return jnp.take(table, idx, axis=0)
+    g = 128 // w
+    npad = -(-n // g) * g
+    t2 = table
+    if npad != n:
+        t2 = jnp.concatenate(
+            [table, jnp.zeros((npad - n, w), table.dtype)], axis=0)
+    t2 = t2.reshape(npad // g, g * w)
+    idx = idx.astype(jnp.int32)
+    rows = gather_rows(t2, idx // g, block=block,
+                       interpret=interpret)            # [B, g*w]
+    rows = rows.reshape(-1, g, w)
+    sel = (idx % g)[:, None, None]
+    return jnp.take_along_axis(rows, sel, axis=1)[:, 0, :]

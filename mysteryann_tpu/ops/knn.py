@@ -43,49 +43,62 @@ def exact_knn_device(
     block reduces to k candidates — `approx_min_k` (TPU PartialReduce,
     ~8-15× faster than a full sort at these widths; measured on v5e) when
     ``approx``, exact `top_k` otherwise — and a tiny exact [B, 2k] merge
-    folds them into the running top-k. Padding rows (when N % tile != 0)
-    are masked to +inf so they can never be selected.
+    folds them into the running top-k.
+
+    The distance block must feed the selection DIRECTLY: any elementwise
+    op between them (a padding `jnp.where` mask, a negate...) breaks
+    XLA's matmul→select fusion and materializes the multi-GB block
+    (measured 3.1 → ~25 ms per 8192x262144 tile). Hence the remainder
+    rows (N % tile) are handled in a separate masked pass instead of
+    padding the scanned tiles.
     """
     metric = Metric.parse(metric)
     nb, d = base.shape
     tile = min(tile, nb)
-    n_tiles = -(-nb // tile)
-    pad = n_tiles * tile - nb
-    base_p = jnp.pad(base, ((0, pad), (0, 0))) if pad else base
-    base_t = base_p.reshape(n_tiles, tile, d)
+    n_full = nb // tile
+    rem = nb - n_full * tile
     kk = min(k, tile)
 
-    def tile_select(dists):
+    def tile_select(dists, kk):
         if approx:
             return jax.lax.approx_min_k(dists, k=kk)
         neg_vals, pos = jax.lax.top_k(-dists, kk)
         return -neg_vals, pos
 
-    def step(carry, inp):
-        best_d, best_i = carry
-        tile_b, t_idx = inp
-        dists = pairwise_dist(queries, tile_b, metric=metric,
-                              precision=precision)
-        col0 = t_idx * tile
-        # mask padding rows of the final tile
-        col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1) + col0
-        dists = jnp.where(col < nb, dists, _INF)
-        t_d, t_pos = tile_select(dists)               # [B, kk]
-        t_i = t_pos.astype(jnp.int32) + col0
-        # exact merge into the running top-k (width 2k — cheap)
+    def merge(best, t_d, t_i):
+        best_d, best_i = best
         cat_d = jnp.concatenate([best_d, t_d], axis=1)
         cat_i = jnp.concatenate([best_i, t_i], axis=1)
         neg, pos = jax.lax.top_k(-cat_d, k)
-        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
 
     init = (
         jnp.full((queries.shape[0], k), _INF, jnp.float32),
         jnp.full((queries.shape[0], k), -1, jnp.int32),
     )
-    (best_d, best_i), _ = jax.lax.scan(
-        step, init, (base_t, jnp.arange(n_tiles, dtype=jnp.int32))
-    )
-    return best_d, best_i
+
+    best = init
+    if n_full:
+        base_t = base[: n_full * tile].reshape(n_full, tile, d)
+
+        def step(carry, inp):
+            tile_b, t_idx = inp
+            dists = pairwise_dist(queries, tile_b, metric=metric,
+                                  precision=precision)
+            t_d, t_pos = tile_select(dists, kk)           # [B, kk]
+            return merge(carry, t_d,
+                         t_pos.astype(jnp.int32) + t_idx * tile), None
+
+        best, _ = jax.lax.scan(
+            step, init, (base_t, jnp.arange(n_full, dtype=jnp.int32)))
+
+    if rem:
+        dists = pairwise_dist(queries, base[n_full * tile:], metric=metric,
+                              precision=precision)
+        t_d, t_pos = tile_select(dists, min(k, rem))
+        best = merge(best, t_d, t_pos.astype(jnp.int32) + n_full * tile)
+
+    return best
 
 
 def exact_knn(
@@ -168,51 +181,62 @@ def int8_knn_device(
     metric = Metric.parse(metric)
     nb, d = base_i8.shape
     tile = min(tile, nb)
-    n_tiles = -(-nb // tile)
-    pad = n_tiles * tile - nb
-    if pad:
-        base_i8 = jnp.pad(base_i8, ((0, pad), (0, 0)))
-        base_scale = jnp.pad(base_scale, (0, pad))
-        if base_norm is not None:
-            base_norm = jnp.pad(base_norm, (0, pad))
-    base_t = base_i8.reshape(n_tiles, tile, d)
-    scale_t = base_scale.reshape(n_tiles, tile)
-    norm_t = (base_norm.reshape(n_tiles, tile)
-              if base_norm is not None else jnp.zeros((n_tiles, 1)))
+    n_full = nb // tile
+    rem = nb - n_full * tile
     kk = min(k, tile)
 
     q_i8, q_scale = quantize_rows_int8(queries)
     if metric == Metric.L2:
         q_sq = jnp.sum(queries * queries, axis=1, keepdims=True)
 
-    def step(carry, inp):
-        best_d, best_i = carry
-        tile_b, tile_s, tile_n, t_idx = inp
+    def block_dists(tile_b, tile_s, tile_n):
         s32 = jax.lax.dot_general(
             q_i8, tile_b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)            # [B, tile]
         ip = (s32.astype(jnp.float32) * q_scale[:, None]) * tile_s[None, :]
         if metric in (Metric.IP, Metric.COSINE):
-            dists = -ip
-        else:
-            dists = q_sq - 2.0 * ip + tile_n[None, :]
-        col0 = t_idx * tile
-        col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, 1) + col0
-        dists = jnp.where(col < nb, dists, _INF)
-        t_d, t_pos = jax.lax.approx_min_k(dists, k=kk)
-        t_i = t_pos.astype(jnp.int32) + col0
+            return -ip
+        return q_sq - 2.0 * ip + tile_n[None, :]
+
+    def merge(best, t_d, t_i):
+        best_d, best_i = best
         cat_d = jnp.concatenate([best_d, t_d], axis=1)
         cat_i = jnp.concatenate([best_i, t_i], axis=1)
         neg, pos = jax.lax.top_k(-cat_d, k)
-        return (-neg, jnp.take_along_axis(cat_i, pos, axis=1)), None
+        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
 
-    init = (
+    best = (
         jnp.full((queries.shape[0], k), _INF, jnp.float32),
         jnp.full((queries.shape[0], k), -1, jnp.int32),
     )
-    (best_d, best_i), _ = jax.lax.scan(
-        step, init,
-        (base_t, scale_t,
-         jnp.broadcast_to(norm_t, (n_tiles, tile)),
-         jnp.arange(n_tiles, dtype=jnp.int32)))
-    return best_d, best_i
+    zero_norm = jnp.zeros((1,), jnp.float32)
+    if n_full:
+        sl = n_full * tile
+
+        def step(carry, inp):
+            tile_b, tile_s, tile_n, t_idx = inp
+            dists = block_dists(tile_b, tile_s, tile_n)
+            # no elementwise mask between the block and the selection —
+            # see exact_knn_device (fusion-breaking materialization)
+            t_d, t_pos = jax.lax.approx_min_k(dists, k=kk)
+            return merge(carry, t_d,
+                         t_pos.astype(jnp.int32) + t_idx * tile), None
+
+        norm_t = (base_norm[:sl].reshape(n_full, tile)
+                  if base_norm is not None
+                  else jnp.broadcast_to(zero_norm, (n_full, tile)))
+        best, _ = jax.lax.scan(
+            step, best,
+            (base_i8[:sl].reshape(n_full, tile, d),
+             base_scale[:sl].reshape(n_full, tile), norm_t,
+             jnp.arange(n_full, dtype=jnp.int32)))
+
+    if rem:
+        sl = n_full * tile
+        norm_r = (base_norm[sl:] if base_norm is not None
+                  else jnp.broadcast_to(zero_norm, (rem,)))
+        dists = block_dists(base_i8[sl:], base_scale[sl:], norm_r)
+        t_d, t_pos = jax.lax.approx_min_k(dists, k=min(k, rem))
+        best = merge(best, t_d, t_pos.astype(jnp.int32) + sl)
+
+    return best

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from mysteryann_tpu.ops.distances import Metric
-from mysteryann_tpu.ops.gather import gather_rows
+from mysteryann_tpu.ops.gather import gather_rows_any
 
 _INF = jnp.float32(jnp.inf)
 
@@ -152,7 +152,7 @@ def beam_search(
 
     def gather_vecs(ids):  # ids int32 [...], clamped pallas DMA gather
         flat = jnp.minimum(ids, n_base - 1).reshape(-1)
-        return gather_rows(base, flat).reshape(ids.shape + (d,))
+        return gather_rows_any(base, flat).reshape(ids.shape + (d,))
 
     # ---- seed pool with entry points -------------------------------------
     ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
@@ -233,13 +233,13 @@ def beam_search(
         # -- gather neighbor rows (pallas DMA gather) -----------------------
         cur_c = jnp.minimum(cur, n_total - 1)
         e_sel = cur_c.shape[1]
-        nbrs = gather_rows(neighbors, cur_c.reshape(-1)).reshape(
+        nbrs = gather_rows_any(neighbors, cur_c.reshape(-1)).reshape(
             B, e_sel, M)                                          # [B, e, M]
         nbrs = jnp.where((cur < n_total)[:, :, None], nbrs, n_total)
         if two_hop:
             # expand neighbors-of-neighbors: base→query→base
             n1 = jnp.minimum(nbrs, n_total - 1)
-            nbrs2 = gather_rows(neighbors, n1.reshape(-1)).reshape(
+            nbrs2 = gather_rows_any(neighbors, n1.reshape(-1)).reshape(
                 B, e_sel * M, M)                                  # [B, e*M, M]
             nbrs2 = jnp.where(
                 (nbrs < n_total).reshape(B, -1, 1), nbrs2, n_total)

@@ -123,13 +123,16 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         # THE gather: one packed byte row per query (pallas DMA gather)
         cur_c = jnp.minimum(cur, n_base)
         rows = gather_rows(table, cur_c)            # [B, R/128, 128] u8
-        rows = rows.reshape(B, -1)                  # [B, R]
+        # unpack via 3D sub-row slices — flattening to [B, R] u8 forces a
+        # tiled-layout copy of the whole 75 MB block every hop
+        qrows = M * d // 128
         block = jax.lax.bitcast_convert_type(
-            rows[:, :M * d].reshape(B, M, d), jnp.int8)
+            rows[:, :qrows, :], jnp.int8).reshape(B, M, d)
+        meta = rows[:, qrows:qrows + (8 * M) // 128, :].reshape(B, 8 * M)
         sc = jax.lax.bitcast_convert_type(
-            rows[:, M * d:M * d + 4 * M].reshape(B, M, 4), jnp.float32)
+            meta[:, :4 * M].reshape(B, M, 4), jnp.float32)
         nbrs = jax.lax.bitcast_convert_type(
-            rows[:, M * d + 4 * M:M * d + 8 * M].reshape(B, M, 4), jnp.int32)
+            meta[:, 4 * M:].reshape(B, M, 4), jnp.int32)
 
         ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -212,6 +215,12 @@ class FusedSearcher:
         nb = np.asarray(index.graph.neighbors)
         if max_degree and max_degree < nb.shape[1]:
             nb = nb[:, :max_degree]  # adjacency is closest-first per node
+        if nb.shape[1] % 16:
+            # M multiple of 16 keeps every packed region on a 128-byte
+            # sub-row boundary (the unpack slices at sub-row granularity)
+            padc = 16 - nb.shape[1] % 16
+            nb = np.concatenate(
+                [nb, np.full((nb.shape[0], padc), n, nb.dtype)], axis=1)
         M = nb.shape[1]
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
         self.n_base, self.M, self.d = n, M, d

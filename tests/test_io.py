@@ -87,3 +87,28 @@ def test_nsg_import(tmp_path, rng):
     assert to_lists(g) == lists
     with pytest.raises(ValueError, match="expected"):
         load_nsg_graph(p, n_nodes=7)
+
+
+def test_data_align():
+    import numpy as np
+    from mysteryann_tpu.io.formats import data_align
+
+    x = np.random.default_rng(0).normal(size=(10, 200)).astype(np.float32)
+    y = data_align(x)
+    assert y.shape == (10, 256)
+    np.testing.assert_array_equal(y[:, :200], x)
+    assert np.all(y[:, 200:] == 0)
+    # IP preserved
+    np.testing.assert_allclose(y @ y.T, x @ x.T, rtol=1e-5)
+    z = data_align(x, multiple=8)
+    assert z.shape == (10, 200)
+
+
+def test_index_registry():
+    from mysteryann_tpu.index import index_kinds, get_index_cls
+    import pytest
+
+    assert set(index_kinds()) == {"flat", "ivf", "roargraph", "bipartite"}
+    assert get_index_cls("flat").index_kind == "flat"
+    with pytest.raises(ValueError):
+        get_index_cls("nope")
