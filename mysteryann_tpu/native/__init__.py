@@ -22,7 +22,8 @@ _tried = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
+            ["g++", "-O3", "-std=c++17", "-pthread", "-shared", "-fPIC",
+             _SRC, "-o", _SO],
             check=True, capture_output=True, timeout=120)
         return True
     except (subprocess.SubprocessError, FileNotFoundError):
@@ -60,10 +61,18 @@ def lib():
         L.msann_scan_bipartite.argtypes = [ctypes.c_char_p, u32p, u32p]
         L.msann_load_bipartite.argtypes = [
             ctypes.c_char_p, i32p, ctypes.c_uint32, ctypes.c_uint32]
+        L.msann_stream_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32]
+        L.msann_stream_open.restype = ctypes.c_void_p
+        L.msann_stream_meta.argtypes = [ctypes.c_void_p, u32p, u32p]
+        L.msann_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        L.msann_stream_next.restype = ctypes.c_int64
+        L.msann_stream_close.argtypes = [ctypes.c_void_p]
+        L.msann_stream_close.restype = None
         for fn in ("msann_read_header", "msann_save_projection",
                    "msann_scan_projection", "msann_load_projection",
                    "msann_save_bipartite", "msann_scan_bipartite",
-                   "msann_load_bipartite"):
+                   "msann_load_bipartite", "msann_stream_meta"):
             getattr(L, fn).restype = ctypes.c_int
         _lib = L
         return _lib

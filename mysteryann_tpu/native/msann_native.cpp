@@ -183,3 +183,133 @@ int msann_load_bipartite(const char* path, int32_t* neighbors,
 }
 
 }  // extern "C"
+
+// ---- streaming chunk reader --------------------------------------------
+// Double-buffered prefetch: a reader thread fills one buffer from disk
+// while the consumer drains the other — overlapping file IO with the
+// host->device transfers that follow (the reference loads whole files
+// up front, util.h:180-211; a 100M-scale corpus wants a pipeline).
+
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+
+namespace {
+
+struct MsannStream {
+  FILE* f = nullptr;
+  uint32_t n = 0, d = 0, elt = 4, chunk_rows = 0;
+  uint64_t row_bytes = 0, next_row = 0;
+
+  std::vector<char> buf[2];
+  uint64_t rows_in[2] = {0, 0};
+  bool ready[2] = {false, false};
+  bool eof = false, error = false, stop = false;
+  int fill_slot = 0;   // producer's next slot
+  int read_slot = 0;   // consumer's next slot (slots drain in fill order)
+
+  std::thread th;
+  std::mutex mu;
+  std::condition_variable cv;
+
+  void run() {
+    for (;;) {
+      int s;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv.wait(lk, [&] { return stop || !ready[fill_slot]; });
+        if (stop) return;
+        s = fill_slot;
+      }
+      uint64_t want = chunk_rows;
+      if (next_row + want > n) want = n - next_row;
+      uint64_t got = 0;
+      if (want > 0)
+        got = fread(buf[s].data(), row_bytes, want, f);
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        rows_in[s] = got;
+        ready[s] = true;
+        if (got < want) error = true;
+        if (got == 0 || next_row + got >= n) eof = true;
+        next_row += got;
+        fill_slot = 1 - s;
+        cv.notify_all();
+        if (eof || error) return;
+      }
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* msann_stream_open(const char* path, uint32_t chunk_rows,
+                        uint32_t elt_size) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* st = new MsannStream();
+  st->f = f;
+  if (fread(&st->n, 4, 1, f) != 1 || fread(&st->d, 4, 1, f) != 1) {
+    fclose(f);
+    delete st;
+    return nullptr;
+  }
+  st->elt = elt_size;
+  st->chunk_rows = chunk_rows;
+  st->row_bytes = (uint64_t)st->d * elt_size;
+  st->buf[0].resize(st->row_bytes * chunk_rows);
+  st->buf[1].resize(st->row_bytes * chunk_rows);
+  st->th = std::thread([st] { st->run(); });
+  return st;
+}
+
+int msann_stream_meta(void* h, uint32_t* n, uint32_t* d) {
+  auto* st = static_cast<MsannStream*>(h);
+  if (!st) return -EINVAL;
+  *n = st->n;
+  *d = st->d;
+  return 0;
+}
+
+// Copy the next chunk into `out` (capacity chunk_rows * d * elt bytes).
+// Returns rows copied; 0 = end of stream; negative = IO error.
+int64_t msann_stream_next(void* h, void* out) {
+  auto* st = static_cast<MsannStream*>(h);
+  if (!st) return -EINVAL;
+  int s;
+  {
+    std::unique_lock<std::mutex> lk(st->mu);
+    s = st->read_slot;
+    st->cv.wait(lk, [&] {
+      return st->ready[s] || st->eof || st->error;
+    });
+    if (!st->ready[s]) return st->error ? -EIO : 0;
+  }
+  uint64_t rows = st->rows_in[s];
+  if (rows > 0)
+    memcpy(out, st->buf[s].data(), rows * st->row_bytes);
+  {
+    std::lock_guard<std::mutex> lk(st->mu);
+    st->ready[s] = false;
+    st->read_slot = 1 - s;
+    st->cv.notify_all();
+  }
+  return (int64_t)rows;
+}
+
+void msann_stream_close(void* h) {
+  auto* st = static_cast<MsannStream*>(h);
+  if (!st) return;
+  {
+    std::lock_guard<std::mutex> lk(st->mu);
+    st->stop = true;
+    st->cv.notify_all();
+  }
+  if (st->th.joinable()) st->th.join();
+  fclose(st->f);
+  delete st;
+}
+
+}  // extern "C"
