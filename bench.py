@@ -126,13 +126,14 @@ def main():
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)
 
-    log("== graph search sweep ==")
-    searcher = Searcher(index, base)
+    log("== graph search sweep (fused int8 engine) ==")
+    from mysteryann_tpu.search.fused import FusedSearcher
+
+    fused = FusedSearcher(index, base)
     graph_rows = []
     graph_best = None
     for L in L_SWEEP:
-        r = searcher.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL,
-                               visited_mode="pool", expand=2)
+        r = fused.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL)
         r["recall"] = compute_recall(r["ids"], gt_i, K)
         graph_rows.append({kk: vv for kk, vv in r.items()
                            if kk not in ("ids", "dists")})
@@ -141,6 +142,16 @@ def main():
         if r["recall"] >= TARGET_RECALL:
             graph_best = graph_rows[-1]
             break
+    del fused
+
+    # classic engine, one parity row (same graph, f32 vectors)
+    searcher = Searcher(index, base)
+    r = searcher.benchmark(eval_q, k=K, L=100, query_batch=N_EVAL,
+                           visited_mode="pool", expand=2)
+    r["recall"] = compute_recall(r["ids"], gt_i, K)
+    classic_row = {kk: vv for kk, vv in r.items()
+                   if kk not in ("ids", "dists")}
+    log(f"classic L=100: QPS={r['qps']:.0f} recall={r['recall']:.4f}")
 
     # headline: best mode meeting the recall target
     candidates = [row for row in ([flat_row] + ([graph_best] if graph_best
@@ -164,6 +175,9 @@ def main():
                      for kk, vv in (flat_row or {}).items()},
             "graph_rows": [{kk: (round(vv, 4) if isinstance(vv, float) else vv)
                             for kk, vv in r.items()} for r in graph_rows],
+            "classic_graph_row": {kk: (round(vv, 4) if isinstance(vv, float)
+                                       else vv)
+                                  for kk, vv in classic_row.items()},
             "graph_build_secs": (None if build_secs is None
                                  else round(build_secs, 1)),
             "baseline_qps_t16": base_qps,
