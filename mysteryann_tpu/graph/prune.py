@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from mysteryann_tpu.ops.distances import Metric
+from mysteryann_tpu.ops.gather import gather_rows_any
 
 _INF = jnp.float32(jnp.inf)
 
@@ -68,7 +69,9 @@ def batched_occlusion_prune(
     valid_s = valid_s & ~dup
 
     # candidate-pairwise distances [B, C, C] — one batched MXU contraction
-    vecs = jnp.take(base, jnp.minimum(id_s, n - 1), axis=0)       # [B, C, d]
+    vecs = gather_rows_any(
+        base, jnp.minimum(id_s, n - 1).reshape(-1)).reshape(
+        B, C, base.shape[1])                                      # [B, C, d]
     ip = jnp.einsum("bcd,bed->bce", vecs, vecs,
                     preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):
@@ -79,22 +82,45 @@ def batched_occlusion_prune(
 
     seedable_s = ~seedblk_s
 
-    def scan_step(j, carry):
-        kept, cnt = carry
-        dj = jax.lax.dynamic_slice_in_dim(d_s, j, 1, axis=1)       # [B, 1]
-        pdj = jax.lax.dynamic_slice_in_dim(pd, j, 1, axis=1)[:, 0]  # [B, C]
-        occluded = jnp.any(kept & (pdj < dj), axis=1)              # [B]
-        vj = jax.lax.dynamic_slice_in_dim(valid_s, j, 1, axis=1)[:, 0]
-        sj = jax.lax.dynamic_slice_in_dim(seedable_s, j, 1, axis=1)[:, 0]
-        seed_ok = (cnt > 0) | sj
-        keep = vj & ~occluded & (cnt < cap) & seed_ok              # [B]
-        kept = jax.lax.dynamic_update_slice_in_dim(
-            kept, keep[:, None], j, axis=1)
-        return kept, cnt + keep.astype(jnp.int32)
+    # Keep-driven scan: the sequential sorted-order walk keeps at most
+    # `cap` candidates, and occlusion only grows — so iterating "keep the
+    # first available candidate, occlude its shadow" `cap` times visits
+    # exactly the same keep set as walking all C positions (a candidate
+    # occluded when the walk passes it can never become keepable later).
+    # cap (~32) iterations instead of C (~hundreds).
+    b_iota = jnp.arange(B)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
 
-    kept0 = jnp.zeros((B, C), jnp.bool_)
-    kept, cnt = jax.lax.fori_loop(0, C, scan_step,
-                                  (kept0, jnp.zeros((B,), jnp.int32)))
+    # seed first (reference :1861-1864): the walk skips not-seedable
+    # candidates while the kept set is empty — and a skip at one's turn
+    # is PERMANENT, so not-seedable candidates positioned before the
+    # seed stay excluded even after seeding
+    avail0 = valid_s & seedable_s
+    has0 = jnp.any(avail0, axis=1)
+    j0 = jnp.argmax(avail0, axis=1)                                # [B]
+    kept0 = jnp.zeros((B, C), jnp.bool_).at[
+        b_iota, jnp.where(has0, j0, C)].set(True, mode="drop")
+    valid_s = valid_s & ~(seedblk_s & (pos < j0[:, None])
+                          & has0[:, None])
+    pd0 = jnp.take_along_axis(pd, j0[:, None, None], axis=1)[:, 0]
+    occ0 = has0[:, None] & (pd0 < d_s)
+
+    def keep_step(i, carry):
+        kept, occ, cnt = carry
+        avail = valid_s & ~occ & ~kept
+        has = jnp.any(avail, axis=1)
+        j = jnp.argmax(avail, axis=1)                              # [B]
+        do = has & (cnt < cap)
+        kept = kept.at[b_iota, jnp.where(do, j, C)].set(
+            True, mode="drop")
+        # future candidate c is occluded by the kept j if pd[j, c] < d[c]
+        pdj = jnp.take_along_axis(
+            pd, j[:, None, None], axis=1)[:, 0]                    # [B, C]
+        occ = occ | (do[:, None] & (pdj < d_s))
+        return kept, occ, cnt + do.astype(jnp.int32)
+
+    kept, _, cnt = jax.lax.fori_loop(
+        1, cap, keep_step, (kept0, occ0, has0.astype(jnp.int32)))
 
     # order: kept candidates (sorted) first, then (if fill) valid non-kept
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
@@ -115,7 +141,9 @@ def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array, base: jax.Array,
     """distance(candidate[b, c], src[b]) for prune inputs; [B, C]."""
     metric = Metric.parse(metric)
     n = base.shape[0]
-    vecs = jnp.take(base, jnp.minimum(cand_ids, n - 1), axis=0)
+    vecs = gather_rows_any(
+        base, jnp.minimum(cand_ids, n - 1).reshape(-1)).reshape(
+        cand_ids.shape + (base.shape[1],))
     ip = jnp.einsum("bcd,bd->bc", vecs, src_vecs,
                     preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):

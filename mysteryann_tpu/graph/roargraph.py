@@ -42,11 +42,14 @@ import os
 import struct
 from typing import Optional, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mysteryann_tpu.graph.adjacency import PaddedGraph
+from mysteryann_tpu.ops.gather import gather_rows_any
 from mysteryann_tpu.graph.prune import batched_occlusion_prune, dists_to_src
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.search.beam import beam_search
@@ -258,12 +261,20 @@ def _batched_prune_rows(
     batch: int,
     fill: bool,
     not_seedable: Optional[np.ndarray] = None,  # [K, C] bool
+    return_device: bool = False,
 ) -> np.ndarray:
-    """Run the occlusion prune over row batches; returns [K, cap] ids."""
+    """Run the occlusion prune over row batches; returns [K, cap] ids.
+
+    Accepts host OR device arrays — device inputs never round-trip the
+    host (the axon tunnel makes a [8k, 3L] block cost ~1 s each way);
+    ``return_device=True`` keeps the output on device too.
+    """
     n = base_dev.shape[0]
     k_rows = node_ids.shape[0]
-    out = np.full((k_rows, cap), n, np.int32)
+    dev_out = []
+    out = None if return_device else np.full((k_rows, cap), n, np.int32)
     batch = max(1, min(batch, k_rows))
+    xp = jnp if isinstance(cand, jax.Array) else np
     for s in range(0, k_rows, batch):
         e = min(s + batch, k_rows)
         ids_b = node_ids[s:e]
@@ -271,22 +282,28 @@ def _batched_prune_rows(
         ns_b = not_seedable[s:e] if not_seedable is not None else None
         if e - s < batch:  # pad to the compiled shape
             pad = batch - (e - s)
-            ids_b = np.concatenate([ids_b, np.zeros(pad, ids_b.dtype)])
-            cand_b = np.concatenate(
-                [cand_b, np.full((pad, cand_b.shape[1]), n, cand_b.dtype)])
+            ids_b = xp.concatenate(
+                [ids_b, xp.zeros(pad, ids_b.dtype)])
+            cand_b = xp.concatenate(
+                [cand_b, xp.full((pad, cand_b.shape[1]), n, cand_b.dtype)])
             if ns_b is not None:
-                ns_b = np.concatenate(
-                    [ns_b, np.zeros((pad, ns_b.shape[1]), bool)])
+                ns_b = xp.concatenate(
+                    [ns_b, xp.zeros((pad, ns_b.shape[1]), bool)])
         ids_j = jnp.asarray(ids_b, jnp.int32)
         cand_j = jnp.asarray(cand_b, jnp.int32)
-        src_vecs = jnp.take(base_dev, ids_j, axis=0)
+        src_vecs = gather_rows_any(base_dev, ids_j)
         cd = dists_to_src(src_vecs, cand_j, base_dev, metric)
         pruned, _ = batched_occlusion_prune(
             src_vecs, ids_j, cand_j, cd, base_dev, cap=cap, metric=metric,
             fill=fill,
             not_seedable=None if ns_b is None else jnp.asarray(ns_b),
         )
-        out[s:e] = np.asarray(pruned)[: e - s]
+        if return_device:
+            dev_out.append(pruned[: e - s])
+        else:
+            out[s:e] = np.asarray(pruned)[: e - s]
+    if return_device:
+        return dev_out[0] if len(dev_out) == 1 else jnp.concatenate(dev_out)
     return out
 
 
@@ -464,8 +481,8 @@ def _edge_dists(base_dev, e_src, e_dst, metric, chunk: int = 1 << 20):
     out = np.empty(e_src.size, np.float32)
     for s in range(0, e_src.size, chunk):
         e = min(s + chunk, e_src.size)
-        a = jnp.take(base_dev, jnp.asarray(e_src[s:e]), axis=0)
-        b = jnp.take(base_dev, jnp.asarray(e_dst[s:e]), axis=0)
+        a = gather_rows_any(base_dev, jnp.asarray(e_src[s:e], jnp.int32))
+        b = gather_rows_any(base_dev, jnp.asarray(e_dst[s:e], jnp.int32))
         ip = jnp.sum(a * b, axis=-1)
         if metric in (Metric.IP, Metric.COSINE):
             d = -ip
@@ -473,6 +490,122 @@ def _edge_dists(base_dev, e_src, e_dst, metric, chunk: int = 1 << 20):
             d = jnp.sum((a - b) ** 2, axis=-1)
         out[s:e] = np.asarray(d)
     return out
+
+
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _fold_round_device(supply: jax.Array, chunk_lists: jax.Array,
+                       r0: jax.Array):
+    """Fold one connectivity chunk into the live supply graph ON DEVICE.
+
+    Device recast of the host fold (own-row overwrite + arrival-order
+    reverse aggregation + dedup'd free-slot merge for rows that fit):
+    re-uploading the whole [N, 2M] supply tensor every round costs ~34 s
+    at 1M through the axon tunnel, and the host lexsort group-by is
+    1-core-bound everywhere. Returns (supply', rev [n, W], fit [n]) —
+    rows that do NOT fit keep only their own lists; the caller routes
+    them through the overflow prune + refill.
+    """
+    n, W = supply.shape
+    c, M = chunk_lists.shape
+    row_ids = r0 + jnp.arange(c, dtype=jnp.int32)
+    ok_row = row_ids < n
+    chunk_lists = jnp.where(ok_row[:, None], chunk_lists, n)
+    # own rows: overwrite with the fresh pruned lists (reference :1213)
+    own_new = jnp.concatenate(
+        [chunk_lists, jnp.full((c, W - M), n, jnp.int32)], axis=1)
+    supply = supply.at[jnp.where(ok_row, row_ids, n)].set(
+        own_new, mode="drop")
+
+    # arrival-order reverse aggregation, budget W per destination
+    # (reference SupplyAddReverse push_back order; see host
+    # _aggregate_reverse for why closest-first caps starve tail nodes)
+    src = jnp.repeat(row_ids, M)
+    dst = chunk_lists.reshape(-1)
+    dstk = jnp.where(dst < n, dst, jnp.int32(n))
+    arrival = jnp.arange(c * M, dtype=jnp.int32)
+    ds, _, ss = jax.lax.sort((dstk, arrival, src), dimension=-1, num_keys=2)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), ds[1:] != ds[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, arrival, 0))
+    rank = arrival - seg_start
+    keep = (ds < n) & (rank < W)
+    rev = jnp.full((n + 1, W), n, jnp.int32)
+    rev = rev.at[jnp.where(keep, ds, n), jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, ss, n), mode="drop")[:n]
+
+    deg_own = jnp.sum(supply < n, axis=1, dtype=jnp.int32)
+    deg_rev = jnp.sum(rev < n, axis=1, dtype=jnp.int32)
+    fit = (deg_own + deg_rev) <= W
+
+    # fit rows: append rev into free slots, dropping entries already in
+    # own (host _concat_budgeted), blocked so the [bs, W, W] dedup
+    # broadcast stays bounded
+    bs = min(8192, n)
+
+    def blk(args):
+        own_b, rev_b, fit_b = args
+        dup = (rev_b[:, :, None] == own_b[:, None, :]).any(axis=2)
+        posw = jax.lax.broadcasted_iota(jnp.int32, own_b.shape, 1)
+        own_key = jnp.where(own_b < n, posw, 3 * W + posw)
+        rev_key = jnp.where((rev_b < n) & ~dup, W + posw, 4 * W + posw)
+        keys = jnp.concatenate([own_key, rev_key], axis=1)
+        vals = jnp.concatenate([own_b, rev_b], axis=1)
+        k_s, v_s = jax.lax.sort((keys, vals), dimension=-1, num_keys=1)
+        packed = jnp.where(k_s[:, :W] < 2 * W, v_s[:, :W], jnp.int32(n))
+        return jnp.where(fit_b[:, None], packed, own_b)
+
+    n_pad = -(-n // bs) * bs
+    pad_r = n_pad - n
+    own_p = jnp.concatenate(
+        [supply, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else supply
+    rev_p = jnp.concatenate(
+        [rev, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else rev
+    fit_p = jnp.concatenate(
+        [fit, jnp.zeros((pad_r,), jnp.bool_)]) if pad_r else fit
+    merged = jax.lax.map(
+        blk, (own_p.reshape(-1, bs, W), rev_p.reshape(-1, bs, W),
+              fit_p.reshape(-1, bs)))
+    return merged.reshape(n_pad, W)[:n], rev, fit
+
+
+
+
+def _refill_rows_device(pruned: jax.Array, cand: jax.Array,
+                        n: int) -> jax.Array:
+    """Overflow-row refill (host _concat_budgeted semantics): start from
+    the pruned list, append candidates not already kept — in candidate
+    (arrival) order — into free slots up to W = cand_width / 2."""
+    return _refill_jit(pruned, cand, n=n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _refill_jit(pruned, cand, n: int):
+    K, M = pruned.shape
+    C = cand.shape[1]
+    W = C // 2
+    merged0 = jnp.concatenate(
+        [pruned, jnp.full((K, W - M), n, jnp.int32)], axis=1)
+    dup = (cand[:, :, None] == merged0[:, None, :]).any(axis=2)
+    posw = jax.lax.broadcasted_iota(jnp.int32, merged0.shape, 1)
+    posc = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+    own_key = jnp.where(merged0 < n, posw, 3 * C + posw)
+    cand_key = jnp.where((cand < n) & ~dup, W + posc, 4 * C + posc)
+    keys = jnp.concatenate([own_key, cand_key], axis=1)
+    vals = jnp.concatenate([merged0, cand], axis=1)
+    k_s, v_s = jax.lax.sort((keys, vals), dimension=-1, num_keys=1)
+    return jnp.where(k_s[:, :W] < 2 * C, v_s[:, :W], jnp.int32(n))
+
+
+@partial(jax.jit, static_argnames=("cap", "n"))
+def _compact_truncate_device(rows: jax.Array, cap: int, n: int) -> jax.Array:
+    """Left-compact valid (< n) entries, truncate to cap, sentinel n."""
+    K, W = rows.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    key = jnp.where(rows < n, pos, W + pos)
+    k_s, v_s = jax.lax.sort((key, rows), dimension=-1, num_keys=1)
+    return jnp.where(k_s[:, :cap] < W, v_s[:, :cap], jnp.int32(n))
 
 
 def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
@@ -492,95 +625,99 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     L = cfg.L_pjpq
     sb = max(8, min(cfg.search_batch, n))
     eps = jnp.asarray([ep], jnp.int32)
-    prune_batch = max(8, min(cfg.search_batch, 256))
+    prune_batch = max(8, min(cfg.search_batch, 1024))
 
     rounds = cfg.connectivity_iters or 16
-    # live supply graph, width 2M (insertion budget)
-    supply = np.full((n, 2 * M), n, np.int32)
-    supply[:, : projection.shape[1]] = projection[:, : 2 * M]
-    supply_dev = jnp.asarray(supply)
+    # live supply graph, width 2M (insertion budget) — DEVICE-resident:
+    # the per-round fold runs on device (_fold_round_device); only tiny
+    # fit-masks and overflow indices touch the host
+    W = 2 * M
+    supply0 = np.full((n, W), n, np.int32)
+    supply0[:, : projection.shape[1]] = projection[:, : W]
+    supply_dev = jnp.asarray(supply0)
+    del supply0
 
     chunk = -(-n // rounds)
-    searched = np.full((n, M), n, np.int32)  # own pruned search results
+    proj_dev = jnp.asarray(projection)
     for r0 in range(0, n, chunk):
         r1 = min(r0 + chunk, n)
         H = 3 * L  # expansion-history length ≈ reference full_retset size
+        # device buffer for this chunk's pruned lists (+1 sentinel row for
+        # clamped-window writes that fall outside the chunk)
+        chunk_dev = jnp.full((chunk + 1, M), n, jnp.int32)
         for s in range(r0, r1, sb):
-            e = min(s + sb, r1)
-            q = np.asarray(base_dev[s:e])
-            if e - s < sb:
-                q = np.concatenate(
-                    [q, np.zeros((sb - (e - s), q.shape[1]), np.float32)])
-            r = beam_search(base_dev, supply_dev, eps, jnp.asarray(q),
+            # clamped full-width window: the tail re-searches a few rows
+            # of the previous batch instead of padding (everything stays
+            # ON DEVICE — a host round trip of the query block and the
+            # expansion history costs ~1 s/batch through the axon tunnel)
+            sl = max(0, min(s, n - sb))
+            q = jax.lax.dynamic_slice_in_dim(base_dev, sl, sb, 0)
+            r = beam_search(base_dev, supply_dev, eps, q,
                             k=1, L=L, metric=metric, expand=1,
                             visited_mode="pool", collect_expanded=H)
             # prune over the FULL expanded set (reference full_retset,
             # :1318) — includes expanded-then-dropped far nodes, whose
             # long-range edges the occlusion rule keeps for navigability
-            pool = np.asarray(r.hist_ids)[: e - s]          # [b, H]
-            node_ids = np.arange(s, e, dtype=np.int32)
+            pool = r.hist_ids                               # [sb, H] dev
+            node_ids = jnp.arange(sl, sl + sb, dtype=jnp.int32)
             # seed must not be an existing projection neighbor (:1861-1864)
-            ns = _membership(pool, projection[s:e], n)
-            searched[s:e] = _batched_prune_rows(
-                base_dev, node_ids, pool, M, metric, prune_batch,
-                fill=False, not_seedable=ns)
-        # fold this chunk into the live supply graph
-        chunk_lists = searched[r0:r1]
-        cv = chunk_lists < n
-        e_src = (np.repeat(np.arange(r0, r1, dtype=np.int64), M)
-                 [cv.ravel()])
-        e_dst = chunk_lists.ravel().astype(np.int64)[cv.ravel()]
-        e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
-        # own rows: overwrite with the fresh pruned lists (reference :1213)
-        supply[r0:r1] = n
-        supply[r0:r1, :M] = chunk_lists
-        # reverse edges. The reference appends while a destination is
-        # under 2M and occlusion-prunes it back to M on overflow
-        # (SupplyAddReverse → PruneProjectionInternalReverseCandidates) —
-        # hub lists cycle through prune-then-refill windows, so even far
-        # tail sources land in free slots. A closest-first cap or a
-        # prune-only fold strands tail nodes with zero in-degree
-        # (measured 13-17k unreachable on a 100k corpus). Reproduce the
-        # cycle per round: gather reverse sources in arrival order, prune
-        # overfull destinations to M, then refill free slots with the
-        # remaining sources in arrival order.
-        rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=2 * M,
-                                 arrival_order=True)
-        deg_own = (supply < n).sum(axis=1)
-        deg_rev = (rev < n).sum(axis=1)
-        fit = deg_own + deg_rev <= 2 * M
-        if fit.any():
-            rows = np.nonzero(fit)[0]
-            supply[rows] = _concat_budgeted(supply[rows], rev[rows], n)
-        over = np.nonzero(~fit)[0]
-        if over.size:
-            cand = np.concatenate([supply[over], rev[over]], axis=1)
+            proj_rows = jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
+            ns = (pool[:, :, None] == proj_rows[:, None, :]).any(
+                axis=2) & (pool < n)
             pruned = _batched_prune_rows(
-                base_dev, over.astype(np.int32), cand, M, metric,
-                prune_batch, fill=False)
-            merged = np.full((over.size, 2 * M), n, np.int32)
-            merged[:, :M] = pruned
-            # refill: arrival-order leftovers not already kept
-            merged = _concat_budgeted(merged, cand, n)
-            supply[over] = merged
-        supply_dev = jnp.asarray(supply)
+                base_dev, node_ids, pool, M, metric, prune_batch,
+                fill=False, not_seedable=ns, return_device=True)
+            slot = jnp.arange(sl - r0, sl - r0 + sb, dtype=jnp.int32)
+            slot = jnp.where((slot >= 0) & (slot < chunk), slot, chunk)
+            chunk_dev = chunk_dev.at[slot].set(pruned)
+        # fold this chunk into the live supply graph, on device.
+        # Reverse edges: the reference appends while a destination is
+        # under 2M and occlusion-prunes back to M on overflow
+        # (SupplyAddReverse → PruneProjectionInternalReverseCandidates) —
+        # arrival-order insertion with prune-then-refill windows; a
+        # closest-first cap or a prune-only fold strands tail nodes with
+        # zero in-degree (measured 13-17k unreachable on a 100k corpus).
+        supply_dev, rev_dev, fit = _fold_round_device(
+            supply_dev, chunk_dev[:chunk], jnp.int32(r0))
+        over = np.nonzero(~np.asarray(fit))[0]
+        if over.size:
+            K = max(1024, 1 << (int(over.size) - 1).bit_length())
+            over_ids = np.zeros(K, np.int32)
+            over_ids[: over.size] = over
+            ids_dev = jnp.asarray(over_ids)
+            own_rows = gather_rows_any(supply_dev, ids_dev)
+            rev_rows = gather_rows_any(rev_dev, ids_dev)
+            cand = jnp.concatenate([own_rows, rev_rows], axis=1)
+            pruned = _batched_prune_rows(
+                base_dev, ids_dev, cand, M, metric, prune_batch,
+                fill=False, return_device=True)
+            # refill free slots with arrival-order leftovers not kept
+            merged = _refill_rows_device(pruned, cand, n)
+            scat = np.full(K, n, np.int32)
+            scat[: over.size] = over
+            supply_dev = supply_dev.at[jnp.asarray(scat)].set(
+                merged, mode="drop")
         log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
     log("")
 
     # overflow re-prune: any row > M goes back through the occlusion prune
     # (reference :1224-1248, no fill)
-    deg = (supply < n).sum(axis=1)
+    deg = np.asarray(jnp.sum(supply_dev < n, axis=1))
+    final_dev = _compact_truncate_device(supply_dev, cap=M, n=n)
     over = np.nonzero(deg > M)[0]
-    supply_final = np.full((n, M), n, np.int32)
-    supply_final[:] = supply[:, :M]
-    under = deg <= M
-    supply_final[under] = _left_compact(supply[under], n)[:, :M]
     if over.size:
+        K = max(1024, 1 << (int(over.size) - 1).bit_length())
+        over_ids = np.zeros(K, np.int32)
+        over_ids[: over.size] = over
+        ids_dev = jnp.asarray(over_ids)
+        cand = gather_rows_any(supply_dev, ids_dev)
         pruned = _batched_prune_rows(
-            base_dev, over.astype(np.int32), supply[over], M, metric,
-            prune_batch, fill=False)
-        supply_final[over] = pruned
-    return supply_final
+            base_dev, ids_dev, cand, M, metric, prune_batch,
+            fill=False, return_device=True)
+        scat = np.full(K, n, np.int32)
+        scat[: over.size] = over
+        final_dev = final_dev.at[jnp.asarray(scat)].set(pruned, mode="drop")
+    return np.asarray(final_dev)
 
 
 def _left_compact(arr: np.ndarray, sentinel: int) -> np.ndarray:
