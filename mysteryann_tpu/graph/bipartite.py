@@ -195,9 +195,18 @@ class BipartiteSearcher:
         self.n_base = index.n_base
         rng = np.random.default_rng(seed)
         # the reference draws 10 fresh random seeds per query; one fixed
-        # draw per searcher keeps the batch in lockstep
+        # draw per searcher keeps the batch in lockstep. Unlike the
+        # reference we draw only among base nodes that HAVE in-edges: on
+        # sparse training coverage (Nq < N) most base rows are empty, and
+        # an all-empty draw would dead-end every query in the batch (the
+        # reference's per-query redraws merely make that failure rare).
+        deg = (np.asarray(index.neighbors[: index.n_base])
+               < index.n_total).sum(axis=1)
+        pool = np.nonzero(deg > 0)[0]
+        if pool.size == 0:
+            pool = np.arange(index.n_base)
         self.eps = jnp.asarray(
-            rng.choice(index.n_base, size=min(n_init, index.n_base),
+            rng.choice(pool, size=min(n_init, pool.size),
                        replace=False).astype(np.int32))
 
     def search(self, queries: np.ndarray, k: int, L: int,

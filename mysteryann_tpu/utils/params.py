@@ -34,11 +34,20 @@ class BuildConfig:
     query_batch: int = 8192      # phase-A queries pruned per device batch
     search_batch: int = 1024     # phase-D nodes searched per device batch
     connectivity_iters: int = 0  # 0 = auto (derived from L_pjpq)
+    # phase-D search engine: "fused" packs the live supply graph into
+    # int8 neighbor-block byte rows each round (one DMA per hop — ~8x
+    # the classic traversal; the prune still uses exact f32 distances);
+    # "classic" traverses f32 vectors directly (no table memory).
+    # "auto" picks fused when the packed table fits the HBM budget.
+    connectivity_engine: str = "auto"
     seed: int = 0
 
     def __post_init__(self):
         if self.metric not in ("l2", "ip", "cosine"):
             raise ValueError(f"unknown metric {self.metric!r}")
+        if self.connectivity_engine not in ("auto", "fused", "classic"):
+            raise ValueError(
+                f"unknown connectivity_engine {self.connectivity_engine!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,3 +72,26 @@ def test_save_load_roundtrip(built, tmp_path):
     s = Searcher(loaded, base)
     ids, *_ = s.search(eval_q, k=10, L=128, query_batch=300)
     assert compute_recall(ids, gt_i, 10) > 0.9
+
+
+@pytest.mark.parametrize("engine", ["classic", "fused"])
+def test_connectivity_engines(engine):
+    """Both phase-D search engines produce valid, high-recall graphs.
+
+    The fused engine traverses int8 neighbor blocks (exact f32 prune), so
+    its graph differs from classic's — quality must not."""
+    base, train_q = make_cross_modal(3000, 1000, 48, metric="ip", seed=21)
+    _, eval_q = make_cross_modal(10, 256, 48, metric="ip", seed=22)
+    _, knn = exact_knn(train_q, base, k=24, metric="ip", precision="highest")
+    cfg = BuildConfig(M_sq=24, M_pjbp=10, L_pjpq=48, metric="ip",
+                      query_batch=512, search_batch=512,
+                      connectivity_engine=engine)
+    index = build_roargraph(base, train_q, knn, cfg, verbose=False)
+    index.graph.validate()
+    assert index.graph.degree_stats()["zero"] == 0
+    _, gt_i = exact_knn(eval_q, base, k=10, metric="ip",
+                        precision="highest")
+    s = Searcher(index, base)
+    ids, *_ = s.search(eval_q, k=10, L=96, query_batch=256)
+    rec = compute_recall(ids, gt_i, 10)
+    assert rec > 0.88, f"[{engine}] recall@10 = {rec}"
