@@ -60,8 +60,18 @@ def distributed_beam_search(
     L: int,
     metric: Metric = Metric.IP,
     max_hops: int = 0,
+    visited_mode: str = "bitmask",
 ) -> SearchResult:
+    """``visited_mode``: "bitmask" keeps the exact per-query visited
+    bitmask (``[B, N/32]`` HBM per dp shard — fine to ~10M); "merge"
+    drops it and dedups re-encountered ids inside the pool merge (the
+    single-chip engine's proof of equivalence, search/beam.py docstring,
+    carries over unchanged) — the only option at 100M-class N, where a
+    bitmask would cost ~12.5 MB per in-flight query."""
     metric = Metric.parse(metric)
+    if visited_mode not in ("bitmask", "merge"):
+        raise ValueError(f"unknown visited_mode {visited_mode!r}")
+    use_merge = visited_mode == "merge"
     n, d = base.shape
     M = neighbors.shape[1]
     B = queries.shape[0]
@@ -72,7 +82,7 @@ def distributed_beam_search(
     shard_n = n // mp
     if max_hops <= 0:
         max_hops = 4 * L + 32
-    n_words = -(-n // 32)
+    n_words = 1 if use_merge else -(-n // 32)
     is_l2 = metric == Metric.L2
 
     def local(q, b_shard, nb_shard):
@@ -115,9 +125,11 @@ def distributed_beam_search(
         cand_d, cand_ids, cand_exp = jax.lax.sort(
             (cand_d, cand_ids, cand_exp), dimension=-1, num_keys=2)
         visited = jnp.zeros((bl, n_words), jnp.uint32)
-        visited = _scatter_or_bits(
-            visited, ep_ids >> 5,
-            jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32), ep_ids < n)
+        if not use_merge:
+            visited = _scatter_or_bits(
+                visited, ep_ids >> 5,
+                jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32),
+                ep_ids < n)
 
         def cond(st):
             return jnp.logical_and(jnp.any(~st[2]), st[6] < max_hops)
@@ -135,17 +147,22 @@ def distributed_beam_search(
             nbrs = gather_rows(cur)                          # [bl, M]
             in_b = nbrs < n
             nb_c = jnp.where(in_b, nbrs, 0)
-            words, bits = nb_c >> 5, jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
-            seen = (visited[jnp.arange(bl)[:, None], words] & bits) != 0
-            f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
-            sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1, num_keys=1)
-            dups = jnp.concatenate(
-                [jnp.zeros((bl, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]],
-                axis=1)
-            first = jnp.zeros_like(in_b).at[
-                jnp.arange(bl)[:, None], si].set(~dups)
-            fresh = in_b & ~seen & first
-            visited = _scatter_or_bits(visited, words, bits, fresh)
+            if use_merge:
+                fresh = in_b
+            else:
+                words = nb_c >> 5
+                bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
+                seen = (visited[jnp.arange(bl)[:, None], words] & bits) != 0
+                f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
+                sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1,
+                                      num_keys=1)
+                dups = jnp.concatenate(
+                    [jnp.zeros((bl, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]],
+                    axis=1)
+                first = jnp.zeros_like(in_b).at[
+                    jnp.arange(bl)[:, None], si].set(~dups)
+                fresh = in_b & ~seen & first
+                visited = _scatter_or_bits(visited, words, bits, fresh)
 
             nd = jnp.where(fresh, dist_to_q(nb_c), _INF)
             new_ids = jnp.where(fresh, nbrs, n)
@@ -155,6 +172,19 @@ def distributed_beam_search(
             all_d = jnp.concatenate([cand_d, nd], axis=1)
             all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
             all_e = jnp.concatenate([cand_exp, ~fresh], axis=1)
+            if use_merge:
+                # id-grouped dedup (see beam.py "merge" mode): keep the
+                # first copy of every id run — expanded copies win, else
+                # the best distance — then resort by distance
+                not_e = jnp.logical_not(all_e)
+                all_i, not_e, all_d = jax.lax.sort(
+                    (all_i, not_e, all_d), dimension=-1, num_keys=3)
+                dup = jnp.concatenate(
+                    [jnp.zeros((bl, 1), jnp.bool_),
+                     all_i[:, 1:] == all_i[:, :-1]], axis=1)
+                all_d = jnp.where(dup, _INF, all_d)
+                all_i = jnp.where(dup, n, all_i)
+                all_e = jnp.where(dup, True, jnp.logical_not(not_e))
             all_d, all_i, all_e = jax.lax.sort(
                 (all_d, all_i, all_e), dimension=-1, num_keys=2)
             return (all_i[:, :L], all_d[:, :L], all_e[:, :L], visited,

@@ -82,6 +82,26 @@ def test_distributed_beam_l2(world):
     assert _recall(np.asarray(r.ids), gt) > 0.75
 
 
+def test_distributed_beam_merge_mode(world):
+    """No-visited-state mode (the 100M-class path): same results as the
+    bitmask mode up to pool-boundary ties."""
+    base, queries, graph, gt = world
+    mesh = make_mesh(dp=2, mp=4)
+    rb = distributed_beam_search(
+        mesh, jnp.array(base), jnp.array(graph), jnp.array([0], jnp.int32),
+        jnp.array(queries), k=10, L=64, metric=Metric.IP,
+        visited_mode="bitmask")
+    rm = distributed_beam_search(
+        mesh, jnp.array(base), jnp.array(graph), jnp.array([0], jnp.int32),
+        jnp.array(queries), k=10, L=64, metric=Metric.IP,
+        visited_mode="merge")
+    assert (np.asarray(rm.ids) == np.asarray(rb.ids)).mean() > 0.99
+    np.testing.assert_array_equal(np.asarray(rm.hops), np.asarray(rb.hops))
+    # merge mode may re-score ids reached twice — cmps >= bitmask's
+    assert np.all(np.asarray(rm.cmps) >= np.asarray(rb.cmps))
+    assert _recall(np.asarray(rm.ids), gt) > 0.75
+
+
 def test_query_parallel_search(world):
     base, queries, graph, gt = world
     mesh = make_mesh(dp=4, mp=2)
