@@ -104,6 +104,7 @@ def main():
         r["recall"] = compute_recall(r["ids"], gt_i, K)
         flat_row = {kk: vv for kk, vv in r.items() if kk not in ("ids", "dists")}
     log(f"flat: QPS={flat_row['qps']:.0f} recall={flat_row['recall']:.4f}")
+    del flat  # release its device-resident base copy before the build
 
     # ---- RoarGraph engine (parity evidence + large-N regime) --------------
     log("== train kNN (build input) ==")

@@ -664,14 +664,19 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
 
     chunk = -(-n // rounds)
     proj_dev = jnp.asarray(projection)
-    table = None
+    table = rev_dev = None
     for r0 in range(0, n, chunk):
         r1 = min(r0 + chunk, n)
         H = 3 * L  # expansion-history length ≈ reference full_retset size
         if engine == "fused":
             _t0 = _time.perf_counter()
-            del table  # free before repack: two tables would OOM
-            table, Mt = pack_neighbor_table(base_dev, supply_dev)
+            del rev_dev  # free the fold scratch before the repack
+            rev_dev = None
+            # repack INTO the previous round's table buffer (donated) —
+            # a fresh multi-GB contiguous alloc into the fragmented heap
+            # OOMs at 1M even though total free HBM suffices
+            table, Mt = pack_neighbor_table(base_dev, supply_dev,
+                                            into=table)
             table.block_until_ready()
             t_pack += _time.perf_counter() - _t0
         # device buffer for this chunk's pruned lists (+1 sentinel row for

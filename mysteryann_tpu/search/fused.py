@@ -229,7 +229,8 @@ def _table_fill(buf, chunk_rows, start):
     return jax.lax.dynamic_update_slice_in_dim(buf, chunk_rows, start, 0)
 
 
-def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 65536,
+def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
+                        into: jax.Array | None = None,
                         ) -> Tuple[jax.Array, int]:
     """Pack a padded adjacency into the fused byte-row table.
 
@@ -241,7 +242,11 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 65536,
 
     Packing is chunked so the f32 gather scratch stays bounded; chunks
     land in a preallocated DONATED buffer — a concatenate would
-    transiently double the N·R tensor and OOM a 16 GB chip. Row N is the
+    transiently double the N·R tensor and OOM a 16 GB chip. ``into``
+    recycles a previous table of the same shape as that buffer (every
+    row is overwritten): repacking every connectivity round would
+    otherwise re-allocate a multi-GB contiguous block into a fragmented
+    heap (observed RESOURCE_EXHAUSTED at 1M on round 2). Row N is the
     sentinel: zero vectors, invalid ids (u8 zeros bitcast to id 0 would
     alias node 0, so it is overwritten with one explicit sentinel row).
     """
@@ -258,7 +263,11 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 65536,
     M = neighbors.shape[1]
     R = _row_bytes(M, d)
     on_device = isinstance(neighbors, jax.Array)
-    table = jnp.zeros((n + 1, R // 128, 128), jnp.uint8)
+    shape = (n + 1, R // 128, 128)
+    if into is not None and into.shape == shape and into.dtype == jnp.uint8:
+        table = into
+    else:
+        table = jnp.zeros(shape, jnp.uint8)
     for s in range(0, n, chunk):
         if on_device:
             c = min(chunk, n - s)
