@@ -41,7 +41,7 @@ METRIC = "ip"
 K = 10
 M_SQ, M_PJBP, L_PJPQ = 64, 32, 128
 TARGET_RECALL = 0.95
-L_SWEEP = (10, 20, 40, 70, 100, 150, 250, 400)
+L_SWEEP = (10, 20, 40, 70, 100, 150, 250, 400, 700)
 
 
 def log(*a, **k):
@@ -112,7 +112,8 @@ def main():
         train_q, base, k=M_SQ, metric=METRIC, query_batch=8192,
         base_tile=131072, approx=True)[1]])
 
-    index_path = os.path.join(CACHE, key + "_proj.index")
+    index_path = os.path.join(
+        CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_r32_proj.index")
     build_secs = None
     if os.path.exists(index_path):
         index = RoarGraphIndex.load(index_path)
@@ -121,8 +122,10 @@ def main():
         cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
                           metric=METRIC, query_batch=8192, search_batch=8192)
         t0 = time.time()
-        index = build_roargraph(base, train_q, knn, cfg, verbose=True,
-                                checkpoint_dir=os.path.join(CACHE, key + "_ck"))
+        index = build_roargraph(
+            base, train_q, knn, cfg, verbose=True,
+            checkpoint_dir=os.path.join(
+                CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_r32_ck"))
         build_secs = time.time() - t0
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)

@@ -40,6 +40,11 @@ class BuildConfig:
     # "classic" traverses f32 vectors directly (no table memory).
     # "auto" picks fused when the packed table fits the HBM budget.
     connectivity_engine: str = "auto"
+    # phase-D expansion-history length, as a multiple of L_pjpq. The
+    # reference's full_retset is unbounded (every expanded node,
+    # src/index_bipartite.cpp:1318); 3x captures nearly all expansions
+    # at typical hop counts — raise if build hops routinely exceed it.
+    history_mult: int = 3
     seed: int = 0
 
     def __post_init__(self):

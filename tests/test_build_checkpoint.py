@@ -16,10 +16,11 @@ def test_checkpoint_resume_identical(tmp_path):
     ck = str(tmp_path / "ck")
     a = build_roargraph(base, train_q, knn, cfg, verbose=False,
                         checkpoint_dir=ck)
-    # phase files exist
+    # phase files + config fingerprint exist
     import os
     assert {f for f in os.listdir(ck)} == {
-        "build_phaseA.npy", "build_phaseBC.npy", "build_phaseD.npy"}
+        "build_phaseA.npy", "build_phaseBC.npy", "build_phaseD.npy",
+        "build_meta.json"}
     # resume from checkpoints reproduces the same graph
     b = build_roargraph(base, train_q, knn, cfg, verbose=False,
                         checkpoint_dir=ck)
@@ -28,3 +29,10 @@ def test_checkpoint_resume_identical(tmp_path):
     # and matches an un-checkpointed build
     c = build_roargraph(base, train_q, knn, cfg, verbose=False)
     np.testing.assert_array_equal(a.graph.neighbors, c.graph.neighbors)
+    # a different config invalidates the checkpoints instead of resuming
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, M_pjbp=10)
+    build_roargraph(base, train_q, knn, cfg2, verbose=False,
+                    checkpoint_dir=ck)
+    d = np.load(os.path.join(ck, "build_phaseA.npy"))
+    assert d.shape[1] == 10  # phase A rebuilt under the new config
