@@ -35,7 +35,11 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 KEY_VERSION = "v2"
 N_BASE = 1_000_000
 N_TRAIN = 200_000
-N_EVAL = 8_192
+# 4 chained device batches per timed sync: the axon tunnel imposes a
+# ~30 ms host-sync round trip (measured; dispatches pipeline async), so
+# a single-batch eval would bill 30 ms against ~24 ms of real compute.
+# The reference's own protocol sweeps 100k queries per row.
+N_EVAL = 32_768
 DIM = 128
 METRIC = "ip"
 K = 10
@@ -86,11 +90,11 @@ def main():
     log("== data ==")
     base, train_q = _cached(key + "_data", lambda: make_cross_modal(
         N_BASE, N_TRAIN, DIM, metric=METRIC, seed=7))
-    (eval_q,) = _cached(key + "_eval", lambda: [make_cross_modal(
+    (eval_q,) = _cached(f"{key}_eval{N_EVAL}", lambda: [make_cross_modal(
         10, N_EVAL, DIM, metric=METRIC, seed=8)[1]])
 
     log("== ground truth (exact) ==")
-    gt_i, gt_d = _cached(key + "_gt", lambda: list(reversed(exact_knn(
+    gt_i, gt_d = _cached(f"{key}_gt{N_EVAL}", lambda: list(reversed(exact_knn(
         eval_q, base, k=K, metric=METRIC, query_batch=8192,
         base_tile=131072))))
     gt_i = gt_i.astype(np.int64)
@@ -105,6 +109,18 @@ def main():
         flat_row = {kk: vv for kk, vv in r.items() if kk not in ("ids", "dists")}
     log(f"flat: QPS={flat_row['qps']:.0f} recall={flat_row['recall']:.4f}")
     del flat  # release its device-resident base copy before the build
+
+    # int8 flat (global-scale fused scan + exact f32 rerank)
+    flat8 = FlatIndex(base, metric=METRIC, precision="int8", oversample=4)
+    flat8_row = None
+    for _ in range(2):
+        r = flat8.benchmark(eval_q, k=K)
+        r["recall"] = compute_recall(r["ids"], gt_i, K)
+        flat8_row = {kk: vv for kk, vv in r.items()
+                     if kk not in ("ids", "dists")}
+    log(f"flat int8: QPS={flat8_row['qps']:.0f} "
+        f"recall={flat8_row['recall']:.4f}")
+    del flat8
 
     # ---- RoarGraph engine (parity evidence + large-N regime) --------------
     log("== train kNN (build input) ==")
@@ -158,8 +174,8 @@ def main():
     log(f"classic L=100: QPS={r['qps']:.0f} recall={r['recall']:.4f}")
 
     # headline: best mode meeting the recall target
-    candidates = [row for row in ([flat_row] + ([graph_best] if graph_best
-                                                else []))
+    candidates = [row for row in ([flat_row, flat8_row]
+                                  + ([graph_best] if graph_best else []))
                   if row and row["recall"] >= TARGET_RECALL]
     best = max(candidates, key=lambda r: r["qps"]) if candidates else None
     value = best["qps"] if best else 0.0
@@ -173,10 +189,13 @@ def main():
         "vs_baseline": round(value / base_qps, 3) if base_qps else 0.0,
         "detail": {
             "mode": ("flat" if best is flat_row else
+                     "flat_int8" if best is flat8_row else
                      "roargraph" if best else "none"),
             "recall": round(best["recall"], 4) if best else 0.0,
             "flat": {kk: (round(vv, 4) if isinstance(vv, float) else vv)
                      for kk, vv in (flat_row or {}).items()},
+            "flat_int8": {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                          for kk, vv in (flat8_row or {}).items()},
             "graph_rows": [{kk: (round(vv, 4) if isinstance(vv, float) else vv)
                             for kk, vv in r.items()} for r in graph_rows],
             "classic_graph_row": {kk: (round(vv, 4) if isinstance(vv, float)

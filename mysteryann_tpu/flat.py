@@ -32,7 +32,8 @@ import numpy as np
 from mysteryann_tpu.index import register_index
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.ops.gather import gather_rows_any
-from mysteryann_tpu.ops.knn import (exact_knn_device, int8_knn_device,
+from mysteryann_tpu.ops.knn import (exact_knn_device, int8_global_knn_device,
+                                    int8_knn_device, quantize_global_int8,
                                     quantize_rows_int8)
 
 
@@ -65,9 +66,12 @@ class FlatIndex:
 
     def __init__(self, base: np.ndarray, metric: Metric | str = Metric.IP,
                  tile: int = 262144, oversample: int = 2,
-                 precision: str = "f32", recall_target: float = 0.95):
+                 precision: str = "f32", recall_target: float = 0.95,
+                 int8_scale: str = "auto"):
         if precision not in ("f32", "int8"):
             raise ValueError(f"unknown precision {precision!r}")
+        if int8_scale not in ("auto", "row", "global"):
+            raise ValueError(f"unknown int8_scale {int8_scale!r}")
         self.metric = Metric.parse(metric)
         self.precision = precision
         self.recall_target = recall_target
@@ -75,9 +79,25 @@ class FlatIndex:
         self.tile = min(tile, self.base.shape[0])
         self.oversample = oversample
         if precision == "int8":
-            self.base_i8, self.base_scale = quantize_rows_int8(self.base)
-            self.base_norm = (jnp.sum(self.base * self.base, axis=1)
-                              if self.metric == Metric.L2 else None)
+            # "global": one base-side scale → the scan's selection fuses
+            # with the s8 matmul (IP/cosine only; ~2x the row-scale scan,
+            # ~3.3x the f32 scan — see ops/knn.py). "row": per-row scales,
+            # tighter quantization, required for L2.
+            if int8_scale == "auto":
+                int8_scale = ("row" if self.metric == Metric.L2
+                              else "global")
+            if int8_scale == "global" and self.metric == Metric.L2:
+                raise ValueError("int8_scale='global' supports ip/cosine "
+                                 "only (L2 needs per-row norms)")
+            self.int8_scale = int8_scale
+            if int8_scale == "global":
+                self.base_i8, self.base_scale = quantize_global_int8(
+                    self.base)
+                self.base_norm = None
+            else:
+                self.base_i8, self.base_scale = quantize_rows_int8(self.base)
+                self.base_norm = (jnp.sum(self.base * self.base, axis=1)
+                                  if self.metric == Metric.L2 else None)
 
     @property
     def n_base(self) -> int:
@@ -106,10 +126,15 @@ class FlatIndex:
         for s in range(0, nq + pad, qb):
             qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
             if self.precision == "int8":
-                _, ii = int8_knn_device(
-                    qs, self.base_i8, self.base_scale, k=kk,
-                    metric=self.metric, tile=self.tile,
-                    base_norm=self.base_norm)
+                if self.int8_scale == "global":
+                    q_i8, _ = quantize_rows_int8(qs)
+                    ii = int8_global_knn_device(q_i8, self.base_i8, k=kk,
+                                                tile=self.tile)
+                else:
+                    _, ii = int8_knn_device(
+                        qs, self.base_i8, self.base_scale, k=kk,
+                        metric=self.metric, tile=self.tile,
+                        base_norm=self.base_norm)
                 dd, ii = _rerank_f32(self.base, qs,
                                      jnp.maximum(ii, 0), k, self.metric)
                 outs.append((ii, dd))

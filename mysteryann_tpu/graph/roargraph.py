@@ -668,9 +668,12 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
 
     # round count trades build time for fidelity to the reference's fully
     # incremental pass (each node's search sees all previous nodes'
-    # edges): measured at 100k/M=32, L=100 recall .9285 (16) → .9440 (32)
-    # → .9474 (96) vs the reference's .9559 — 32 is the knee
-    rounds = cfg.connectivity_iters or 32
+    # edges). Measured: at 100k/M=32, L=100 recall .9285 (16 rounds) →
+    # .9440 (32) → .9474 (96) vs the reference's .9559 — but at 1M the
+    # 16→32 step changed recall by < 0.3pt at every L while adding 55%
+    # build time (pack+fold are O(N) per round). Default 16; raise on
+    # small corpora where build time is cheap.
+    rounds = cfg.connectivity_iters or 16
     # live supply graph, width 2M (insertion budget) — DEVICE-resident:
     # the per-round fold runs on device (_fold_round_device); only tiny
     # fit-masks and overflow indices touch the host

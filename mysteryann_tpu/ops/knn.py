@@ -165,6 +165,75 @@ def quantize_rows_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale.astype(jnp.float32)
 
 
+def quantize_global_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """One symmetric int8 scale for the whole table: x ≈ q * scale.
+
+    A uniform base-side scale makes raw s8xs8→s32 scores ORDER-PRESERVING
+    per query for IP/cosine, so `approx_min_k` can consume the matmul
+    output directly — no elementwise rescale between them, which would
+    break the matmul→PartialReduce fusion (measured: 5.1 ms vs 10.8 ms
+    per 8192x1M tile pass on v5e). Costs more quantization error on
+    small-norm rows than per-row scales; the f32 rerank absorbs it.
+    """
+    amax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(amax, 1e-30) / 127.0
+    q = jnp.clip(jnp.rint(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def int8_global_knn_device(
+    q_i8: jax.Array,        # int8 [B, d] (per-row query quantization is
+    base_i8: jax.Array,     #              order-preserving; base is global)
+    k: int,
+    tile: int = 262144,
+) -> jax.Array:
+    """Candidate ids [B, k] via a fusion-clean global-scale int8 scan.
+
+    IP/cosine only: with one base-side scale, -s32 ranks identically to
+    the true negated inner product per query, so the selection consumes
+    the s8xs8→s32 matmul output DIRECTLY (PartialReduce fusion intact —
+    no scores are even materialized). Returns ids only; callers rerank
+    in f32 for exact distances (`FlatIndex`).
+    """
+    nb, d = base_i8.shape
+    tile = min(tile, nb)
+    n_full = nb // tile
+    rem = nb - n_full * tile
+    kk = min(k, tile)
+    B = q_i8.shape[0]
+
+    def merge(best, t_d, t_i):
+        best_d, best_i = best
+        cat_d = jnp.concatenate([best_d, t_d], axis=1)
+        cat_i = jnp.concatenate([best_i, t_i], axis=1)
+        neg, pos = jax.lax.top_k(-cat_d, k)
+        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
+
+    best = (jnp.full((B, k), _INF, jnp.float32),
+            jnp.full((B, k), -1, jnp.int32))
+    if n_full:
+        def step(carry, inp):
+            tile_b, t_idx = inp
+            s32 = jax.lax.dot_general(
+                q_i8, tile_b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            t_d, t_pos = jax.lax.approx_min_k(-s32.astype(jnp.float32), k=kk)
+            return merge(carry, t_d,
+                         t_pos.astype(jnp.int32) + t_idx * tile), None
+        best, _ = jax.lax.scan(
+            step, best, (base_i8[: n_full * tile].reshape(n_full, tile, d),
+                         jnp.arange(n_full, dtype=jnp.int32)))
+    if rem:
+        s32 = jax.lax.dot_general(
+            q_i8, base_i8[n_full * tile:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        t_d, t_pos = jax.lax.approx_min_k(-s32.astype(jnp.float32),
+                                          k=min(k, rem))
+        best = merge(best, t_d, t_pos.astype(jnp.int32) + n_full * tile)
+    return best[1]
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "tile"))
 def int8_knn_device(
     queries: jax.Array,      # f32 [B, d] (metric-preprocessed)
