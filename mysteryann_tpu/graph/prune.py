@@ -9,13 +9,20 @@ PruneProjectionBaseSearchCandidates:1846-1940):
 1. dedup candidates, drop the source node, sort by (distance-to-source, id);
 2. greedy scan: keep candidate ``p`` unless some already-kept ``t`` has
    ``d(p, t) < d(p, src)`` (the occlusion rule), until ``cap`` kept;
-   (the reference's "second relaxed pass" re-scans with the identical
-   factor-1.0 rule — it can never admit a candidate the first pass
-   occluded, so it is semantically inert and not reproduced);
 3. optional fill pass: append closest occluded candidates until ``cap``;
 4. the connectivity-pass variant refuses to *seed* the kept set with a
-   candidate already present in the node's projection list
-   (src/index_bipartite.cpp:1861-1864) — later positions may keep them.
+   candidate already present in the node's projection list, and its
+   pass 1 never revisits entries positioned before the chosen seed
+   (src/index_bipartite.cpp:1857-1864);
+5. the reference's "second pass" re-scans from the start with the
+   identical factor-1.0 rule. For the phase-A prune
+   (PruneBiSearchBaseGetBase:1658-1683) pass 1 already visited every
+   position, so it is semantically inert. For the connectivity-pass
+   variant (:1897-1931) it is NOT: entries skipped before the seed —
+   including the node's existing projection neighbors — get a second
+   chance against the pass-1 kept set. ``two_pass=True`` reproduces
+   that: a second keep-driven scan over the full candidate set,
+   continuing from pass 1's kept/occluded state.
 
 The scan is inherently sequential in the kept set (SURVEY §7 hard part #2),
 but only ``C`` steps long; it runs as a ``fori_loop`` over a precomputed
@@ -37,7 +44,7 @@ from mysteryann_tpu.ops.gather import gather_rows_any
 _INF = jnp.float32(jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("cap", "metric", "fill"))
+@partial(jax.jit, static_argnames=("cap", "metric", "fill", "two_pass"))
 def batched_occlusion_prune(
     src_vecs: jax.Array,     # f32 [B, d] — the node whose list is being built
     src_ids: jax.Array,      # i32 [B] — its id (excluded from candidates)
@@ -48,6 +55,7 @@ def batched_occlusion_prune(
     metric: Metric = Metric.IP,
     fill: bool = True,
     not_seedable: jax.Array | None = None,  # bool [B, C]
+    two_pass: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (pruned_ids i32 [B, cap] sentinel-padded, counts i32 [B])."""
     metric = Metric.parse(metric)
@@ -100,27 +108,39 @@ def batched_occlusion_prune(
     j0 = jnp.argmax(avail0, axis=1)                                # [B]
     kept0 = jnp.zeros((B, C), jnp.bool_).at[
         b_iota, jnp.where(has0, j0, C)].set(True, mode="drop")
+    # pass 1 never revisits entries before the seed (reference
+    # :1857-1866: the seed-skip `while` advances past them permanently)
+    valid_all = valid_s
     valid_s = valid_s & ~(seedblk_s & (pos < j0[:, None])
                           & has0[:, None])
     pd0 = jnp.take_along_axis(pd, j0[:, None, None], axis=1)[:, 0]
     occ0 = has0[:, None] & (pd0 < d_s)
 
-    def keep_step(i, carry):
-        kept, occ, cnt = carry
-        avail = valid_s & ~occ & ~kept
-        has = jnp.any(avail, axis=1)
-        j = jnp.argmax(avail, axis=1)                              # [B]
-        do = has & (cnt < cap)
-        kept = kept.at[b_iota, jnp.where(do, j, C)].set(
-            True, mode="drop")
-        # future candidate c is occluded by the kept j if pd[j, c] < d[c]
-        pdj = jnp.take_along_axis(
-            pd, j[:, None, None], axis=1)[:, 0]                    # [B, C]
-        occ = occ | (do[:, None] & (pdj < d_s))
-        return kept, occ, cnt + do.astype(jnp.int32)
+    def make_keep_step(valid_mask):
+        def keep_step(i, carry):
+            kept, occ, cnt = carry
+            avail = valid_mask & ~occ & ~kept
+            has = jnp.any(avail, axis=1)
+            j = jnp.argmax(avail, axis=1)                          # [B]
+            do = has & (cnt < cap)
+            kept = kept.at[b_iota, jnp.where(do, j, C)].set(
+                True, mode="drop")
+            # future candidate c is occluded by kept j if pd[j, c] < d[c]
+            pdj = jnp.take_along_axis(
+                pd, j[:, None, None], axis=1)[:, 0]                # [B, C]
+            occ = occ | (do[:, None] & (pdj < d_s))
+            return kept, occ, cnt + do.astype(jnp.int32)
+        return keep_step
 
-    kept, _, cnt = jax.lax.fori_loop(
-        1, cap, keep_step, (kept0, occ0, has0.astype(jnp.int32)))
+    kept, occ, cnt = jax.lax.fori_loop(
+        1, cap, make_keep_step(valid_s),
+        (kept0, occ0, has0.astype(jnp.int32)))
+    if two_pass:
+        # reference second pass (:1897-1931): re-scan from the start —
+        # pre-seed-skipped entries get a chance against the pass-1 kept
+        # set; everything pass 1 occluded stays occluded
+        kept, occ, cnt = jax.lax.fori_loop(
+            0, cap, make_keep_step(valid_all), (kept, occ, cnt))
 
     # order: kept candidates (sorted) first, then (if fill) valid non-kept
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)

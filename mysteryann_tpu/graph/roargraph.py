@@ -283,6 +283,7 @@ def _batched_prune_rows(
     fill: bool,
     not_seedable: Optional[np.ndarray] = None,  # [K, C] bool
     return_device: bool = False,
+    two_pass: bool = False,
 ) -> np.ndarray:
     """Run the occlusion prune over row batches; returns [K, cap] ids.
 
@@ -318,6 +319,7 @@ def _batched_prune_rows(
             src_vecs, ids_j, cand_j, cd, base_dev, cap=cap, metric=metric,
             fill=fill,
             not_seedable=None if ns_b is None else jnp.asarray(ns_b),
+            two_pass=two_pass,
         )
         if return_device:
             dev_out.append(pruned[: e - s])
@@ -666,14 +668,33 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     prune_batch = max(8, min(cfg.search_batch, 1024))
     t_search = t_pack = t_prune = t_fold = 0.0
 
-    # round count trades build time for fidelity to the reference's fully
-    # incremental pass (each node's search sees all previous nodes'
-    # edges). Measured: at 100k/M=32, L=100 recall .9285 (16 rounds) →
-    # .9440 (32) → .9474 (96) vs the reference's .9559 — but at 1M the
-    # 16→32 step changed recall by < 0.3pt at every L while adding 55%
-    # build time (pack+fold are O(N) per round). Default 16; raise on
-    # small corpora where build time is cheap.
-    rounds = cfg.connectivity_iters or 16
+    # Round schedule trades build time for fidelity to the reference's
+    # fully incremental pass (each node's search sees all previous
+    # nodes' edges). The post-phase-BC graph is SPARSE (avg degree ~4,
+    # half the nodes empty), so the earliest searches matter most: a
+    # fixed split makes the whole first chunk search that sparse graph
+    # in lockstep from the same medoid — correlated, redundant supply
+    # lists — where the reference bootstraps per node. Geometric chunks
+    # (c0 doubling, capped at n/4) put the round boundaries where the
+    # graph is changing fastest at the same total round count.
+    # connectivity_iters > 0 forces that many fixed equal chunks.
+    if cfg.connectivity_iters:
+        chunks = [-(-n // cfg.connectivity_iters)] * cfg.connectivity_iters
+    elif n < 32768:
+        # small corpora: fixed fine-grained rounds (builds are cheap and
+        # a geometric floor would collapse to 2-3 coarse rounds)
+        chunks = [-(-n // 16)] * 16
+    else:
+        # measured at 1M (identical data/params): L=100 recall .7931
+        # fixed-16 → .8038 geometric (reference .8384)
+        c0 = max(2048, n >> 10)
+        cap_c = max(c0, -(-n // 4))
+        chunks, tot = [], 0
+        while tot < n:
+            c = min(c0, n - tot)
+            chunks.append(c)
+            tot += c
+            c0 = min(2 * c0, cap_c)
     # live supply graph, width 2M (insertion budget) — DEVICE-resident:
     # the per-round fold runs on device (_fold_round_device); only tiny
     # fit-masks and overflow indices touch the host
@@ -692,12 +713,12 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
                   else "classic")
     log(f"phase D engine: {engine}")
 
-    chunk = -(-n // rounds)
     proj_dev = jnp.asarray(projection)
     table = rev_dev = None
-    for r0 in range(0, n, chunk):
+    H = cfg.history_mult * L  # history ≈ reference full_retset size
+    r0 = 0
+    for chunk in chunks:
         r1 = min(r0 + chunk, n)
-        H = cfg.history_mult * L  # history ≈ reference full_retset size
         if engine == "fused":
             _t0 = _time.perf_counter()
             del rev_dev  # free the fold scratch before the repack
@@ -726,6 +747,11 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
                                 n_base=n, M=Mt, d=d, collect_expanded=H)
                 pool = r[4]
                 pool.block_until_ready()
+                if s == r0:  # once per round: history-cap pressure check
+                    hops_r = np.asarray(r[3])
+                    log(f"\rround@{r0}: search hops mean "
+                        f"{hops_r.mean():.0f} max {hops_r.max()} "
+                        f"(H={H})", end="")
             else:
                 r = beam_search(base_dev, supply_dev, eps, q,
                                 k=1, L=L, metric=metric, expand=1,
@@ -742,6 +768,11 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
             proj_rows = jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
             ns = (pool[:, :, None] == proj_rows[:, None, :]).any(
                 axis=2) & (pool < n)
+            # two_pass=False diverges DELIBERATELY from the reference's
+            # second scan (:1897-1931, readmits pre-seed-skipped
+            # projection members): reproducing it measured L=100 recall
+            # .7883 vs .8038 without, on 1M — the readmitted short
+            # edges displace diversity in our batched dynamics
             pruned = _batched_prune_rows(
                 base_dev, node_ids, pool, M, metric, prune_batch,
                 fill=False, not_seedable=ns, return_device=True)
@@ -781,6 +812,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
         supply_dev.block_until_ready()
         t_fold += _time.perf_counter() - _t0
         log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
+        r0 = r1
     log("")
     del table
     log(f"phase D split: search {t_search:.1f}s pack {t_pack:.1f}s "
@@ -797,9 +829,15 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
         over_ids[: over.size] = over
         ids_dev = jnp.asarray(over_ids)
         cand = gather_rows_any(supply_dev, ids_dev)
+        # same prune variant as the in-round pass (reference reuses
+        # PruneProjectionBaseSearchCandidates at :1240): projection
+        # members can't seed (two_pass off — see the in-round note)
+        proj_rows = gather_rows_any(proj_dev, ids_dev)
+        ns = (cand[:, :, None] == proj_rows[:, None, :]).any(
+            axis=2) & (cand < n)
         pruned = _batched_prune_rows(
             base_dev, ids_dev, cand, M, metric, prune_batch,
-            fill=False, return_device=True)
+            fill=False, not_seedable=ns, return_device=True)
         scat = np.full(K, n, np.int32)
         scat[: over.size] = over
         final_dev = final_dev.at[jnp.asarray(scat)].set(pruned, mode="drop")

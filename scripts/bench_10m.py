@@ -1,0 +1,114 @@
+"""10M-scale serving benchmark (the reference's headline T2I-10M regime).
+
+Measures the device-timed QPS/recall of the flat f32 scan, the int8
+global-scale scan, and the IVF index on a 10M x 128-d synthetic
+cross-modal corpus (same family as bench.py's 1M slice) with exact
+ground truth. Methodology matches bench.py: queries pre-staged in HBM,
+results blocked on device, 4 chained 8192-query batches per host sync.
+
+Artifacts cache under .bench_cache/ keyed by scale; results feed the 10M
+table in BASELINE.md. Run: `python scripts/bench_10m.py`.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".bench_cache")
+N_BASE = 10_000_000
+N_EVAL = 32_768
+DIM = 128
+K = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def cached(name, fn):
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, name + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return [z[k] for k in z.files]
+    out = fn()
+    np.savez(path, *out)
+    return list(out)
+
+
+def main():
+    from mysteryann_tpu.io import make_cross_modal
+    from mysteryann_tpu.ops import exact_knn
+    from mysteryann_tpu.flat import FlatIndex
+    from mysteryann_tpu.ivf import IVFIndex
+    from mysteryann_tpu.utils.metrics import compute_recall
+
+    key = f"t2i10m_v2_{N_BASE}_{DIM}"
+    log("== data ==")
+    (base,) = cached(key + "_base", lambda: [make_cross_modal(
+        N_BASE, 10, DIM, metric="ip", seed=17)[0]])
+    (eval_q,) = cached(f"{key}_eval{N_EVAL}", lambda: [make_cross_modal(
+        10, N_EVAL, DIM, metric="ip", seed=18)[1]])
+
+    log("== exact GT ==")
+    # exact top_k does not fuse with the matmul, so the [qb, tile] f32
+    # block materializes — keep it ~1 GB next to the 5.1 GB base
+    gt_i, _ = cached(f"{key}_gt{N_EVAL}", lambda: list(reversed(exact_knn(
+        eval_q, base, k=K, metric="ip", query_batch=2048,
+        base_tile=131072, precision="highest"))))
+    gt_i = gt_i.astype(np.int64)
+
+    rows = []
+
+    log("== flat f32 ==")
+    flat = FlatIndex(base, metric="ip")
+    for _ in range(2):
+        r = flat.benchmark(eval_q, k=K)
+        r["recall"] = compute_recall(r["ids"], gt_i, K)
+    rows.append({"mode": "flat_f32", "qps": round(r["qps"], 1),
+                 "recall": round(r["recall"], 4)})
+    log(rows[-1])
+    del flat
+
+    log("== flat int8 (global scale) ==")
+    flat8 = FlatIndex(base, metric="ip", precision="int8", oversample=4)
+    for _ in range(2):
+        r = flat8.benchmark(eval_q, k=K)
+        r["recall"] = compute_recall(r["ids"], gt_i, K)
+    rows.append({"mode": "flat_int8", "qps": round(r["qps"], 1),
+                 "recall": round(r["recall"], 4)})
+    log(rows[-1])
+    del flat8
+
+    log("== IVF (4096 clusters) ==")
+    t0 = time.time()
+    # cap_factor bounds the padded-block HBM (1.2 → ~6.2 GB at 10M)
+    ivf = IVFIndex(base, metric="ip", n_clusters=4096, cap_factor=1.2,
+                   verbose=True)
+    build_s = time.time() - t0
+    log(f"ivf build: {build_s:.0f}s")
+    for nprobe in (64, 128, 256):
+        for _ in range(2):
+            r = ivf.benchmark(eval_q, k=K, nprobe=nprobe, query_batch=8192)
+            r["recall"] = compute_recall(r["ids"], gt_i, K)
+        rows.append({"mode": f"ivf_np{nprobe}", "qps": round(r["qps"], 1),
+                     "recall": round(r["recall"], 4),
+                     "build_s": round(build_s, 1)})
+        log(rows[-1])
+
+    print(json.dumps({"scale": N_BASE, "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()
