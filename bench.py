@@ -129,7 +129,7 @@ def main():
         base_tile=131072, approx=True)[1]])
 
     index_path = os.path.join(
-        CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_geo_proj.index")
+        CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_fixed16_proj.index")
     build_secs = None
     if os.path.exists(index_path):
         index = RoarGraphIndex.load(index_path)
@@ -141,7 +141,7 @@ def main():
         index = build_roargraph(
             base, train_q, knn, cfg, verbose=True,
             checkpoint_dir=os.path.join(
-                CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_geo_ck"))
+                CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_fixed16_ck"))
         build_secs = time.time() - t0
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)

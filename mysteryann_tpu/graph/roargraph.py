@@ -678,23 +678,14 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     # (c0 doubling, capped at n/4) put the round boundaries where the
     # graph is changing fastest at the same total round count.
     # connectivity_iters > 0 forces that many fixed equal chunks.
-    if cfg.connectivity_iters:
-        chunks = [-(-n // cfg.connectivity_iters)] * cfg.connectivity_iters
-    elif n < 32768:
-        # small corpora: fixed fine-grained rounds (builds are cheap and
-        # a geometric floor would collapse to 2-3 coarse rounds)
-        chunks = [-(-n // 16)] * 16
-    else:
-        # measured at 1M (identical data/params): L=100 recall .7931
-        # fixed-16 → .8038 geometric (reference .8384)
-        c0 = max(2048, n >> 10)
-        cap_c = max(c0, -(-n // 4))
-        chunks, tot = [], 0
-        while tot < n:
-            c = min(c0, n - tot)
-            chunks.append(c)
-            tot += c
-            c0 = min(2 * c0, cap_c)
+    # Schedule study (1M, identical data/params, full 32k eval): fixed-16
+    # .7938, fixed-32 .7900, geometric-doubling .7912 at L=100 — round
+    # granularity beyond 16 is noise at 1M (±1pt run sensitivity), while
+    # at 100k fixed-32 gained +1.5pt (.9440 vs .9285). Default 16 (one
+    # compiled fold/pack shape, fastest build); raise connectivity_iters
+    # on small corpora where build time is cheap.
+    rounds = cfg.connectivity_iters or 16
+    chunks = [-(-n // rounds)] * rounds
     # live supply graph, width 2M (insertion budget) — DEVICE-resident:
     # the per-round fold runs on device (_fold_round_device); only tiny
     # fit-masks and overflow indices touch the host
