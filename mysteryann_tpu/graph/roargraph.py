@@ -157,7 +157,8 @@ def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph
     m_pad = m_pad or maxdeg
     nb = np.full((n, m_pad), n, np.int32)
     for i, row in enumerate(lists):
-        nb[i, : len(row)] = row[:m_pad]
+        # truncate rows wider than m_pad (matches the native loader)
+        nb[i, : min(len(row), m_pad)] = row[:m_pad]
     return PaddedGraph(neighbors=nb, ep=int(ep))
 
 
@@ -246,21 +247,15 @@ def compute_medoid(base: jax.Array) -> int:
 def _aggregate_reverse(
     e_src: np.ndarray, e_dst: np.ndarray, e_dist: np.ndarray,
     n: int, r_max: int, budget: Optional[np.ndarray] = None,
-    arrival_order: bool = False,
 ) -> np.ndarray:
-    """Group reverse edges by destination into [n, r_max].
+    """Group reverse edges by destination, closest-first, into [n, r_max].
 
     ``budget`` (per-destination max accepted, e.g. ``2M - own_degree``)
     emulates the reference's bounded push_back before overflow pruning.
-    ``arrival_order=True`` keeps the incoming edge order per destination
-    (the reference's push_back order) instead of closest-first — a
-    closest-first cap structurally starves far/tail sources of in-edges.
-    Returns sentinel(n)-padded int32.
+    (Phase D's arrival-order variant lives on device in
+    ``_fold_round_device``.) Returns sentinel(n)-padded int32.
     """
-    if arrival_order:
-        order = np.argsort(e_dst, kind="stable")
-    else:
-        order = np.lexsort((e_dist, e_dst))
+    order = np.lexsort((e_dist, e_dst))
     ds, ss = e_dst[order], e_src[order]
     counts = np.bincount(ds, minlength=n)
     offsets = np.zeros(n + 1, np.int64)
@@ -415,9 +410,19 @@ def build_roargraph(
     base_dev = prepare_vectors(base, metric)  # device, normalized if cosine
     knn = np.asarray(learn_base_knn[:, : cfg.M_sq], np.int64)
 
+    # fingerprint includes a cheap content digest: shapes + config alone
+    # would let a resume splice phase outputs computed from a DIFFERENT
+    # same-shaped corpus into this build (silently wrong adjacency)
+    def _digest(a) -> str:
+        a = np.asarray(a)
+        probe = a[:: max(1, a.shape[0] // 64)][:64]
+        return f"{float(np.sum(probe)):.6e}/{float(np.sum(np.abs(a[0]))):.6e}"
+
     ckpt = _BuildCheckpoint(checkpoint_dir, fingerprint={
         "cfg": dataclasses.asdict(cfg), "n": int(n), "nq": int(nq),
-        "dim": int(base.shape[1])})
+        "dim": int(base.shape[1]),
+        "base": _digest(base), "queries": _digest(train_queries),
+        "knn": _digest(learn_base_knn)})
 
     with Timer("medoid") as t_med:
         ep = compute_medoid(base_dev)
@@ -699,9 +704,14 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     if engine == "auto":
         w16 = -(-W // 16) * 16
         # fused needs the packed table resident next to base+supply+prune
-        # scratch; ~10 GB table budget on a 16 GB chip
-        engine = ("fused" if (n + 1) * _row_bytes(w16, d) <= 10e9
+        # scratch (~10 GB table budget on a 16 GB chip) and dims on the
+        # byte-row sub-row boundary (pack_neighbor_table)
+        engine = ("fused" if d % 8 == 0
+                  and (n + 1) * _row_bytes(w16, d) <= 10e9
                   else "classic")
+    elif engine == "fused" and d % 8:
+        raise ValueError("connectivity_engine='fused' needs dim % 8 == 0 "
+                         f"(got d={d}); pad the vectors or use 'classic'")
     log(f"phase D engine: {engine}")
 
     proj_dev = jnp.asarray(projection)

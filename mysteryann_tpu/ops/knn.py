@@ -251,6 +251,10 @@ def int8_knn_device(
     f32 — see `FlatIndex(precision="int8")`.
     """
     metric = Metric.parse(metric)
+    if metric == Metric.L2 and base_norm is None:
+        # zero norms would silently rank by inner product instead of L2
+        raise ValueError("int8_knn_device with metric=L2 requires "
+                         "base_norm (||b||^2 per row)")
     nb, d = base_i8.shape
     tile = min(tile, nb)
     n_full = nb // tile

@@ -47,14 +47,18 @@ class SearchResult(NamedTuple):
     hist_d: jax.Array | None = None     # f32 [B, H]
 
 
-def _batch_dist(q: jax.Array, vecs: jax.Array, metric: Metric,
-                vec_sqnorm: jax.Array | None = None) -> jax.Array:
-    """Distances query[b] → vecs[b, m]: [B, d] x [B, M, d] -> [B, M]."""
+def _batch_dist(q: jax.Array, vecs: jax.Array, metric: Metric) -> jax.Array:
+    """Distances query[b] → vecs[b, m]: [B, d] x [B, M, d] -> [B, M].
+
+    L2 norms are recomputed from the gathered vectors — cheap VPU work;
+    an element-gather from a precomputed norm table would run at XLA's
+    serial-gather rate and dwarf the vector fetch.
+    """
     ip = jnp.einsum("bd,bmd->bm", q, vecs, preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):
         return -ip
     qn = jnp.sum(q * q, axis=-1, keepdims=True)
-    vn = jnp.sum(vecs * vecs, axis=-1) if vec_sqnorm is None else vec_sqnorm
+    vn = jnp.sum(vecs * vecs, axis=-1)
     return jnp.maximum(qn - 2.0 * ip + vn, 0.0)
 
 
@@ -92,7 +96,6 @@ def beam_search(
     k: int,
     L: int,
     metric: Metric = Metric.IP,
-    base_sqnorm: jax.Array | None = None,
     max_hops: int = 0,
     expand: int = 1,
     two_hop: bool = False,
@@ -146,9 +149,6 @@ def beam_search(
     if max_hops <= 0:
         max_hops = 4 * L + 32
     n_words = -(-n_base // 32) if use_bitmask else 1
-
-    if base_sqnorm is None and metric == Metric.L2:
-        base_sqnorm = jnp.sum(base * base, axis=-1)
 
     def gather_vecs(ids):  # ids int32 [...], clamped pallas DMA gather
         flat = jnp.minimum(ids, n_base - 1).reshape(-1)
@@ -280,9 +280,6 @@ def beam_search(
                 visited = _scatter_or_bits(visited, words, bits, fresh)
 
         # -- distances for fresh neighbors ---------------------------------
-        # (L2 norms recomputed from the gathered vectors — cheap VPU work;
-        # a [B, F] element-gather from the precomputed norm table would
-        # run at XLA's serial-gather rate and dwarf the vector fetch)
         vecs = gather_vecs(nb_c)                                  # [B, F, d]
         nd = _batch_dist(queries, vecs, metric)
         nd = jnp.where(fresh, nd, _INF)

@@ -251,6 +251,13 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
     alias node 0, so it is overwritten with one explicit sentinel row).
     """
     n, d = base.shape
+    if d % 8:
+        # with M % 16 == 0, M*d lands on the 128-byte sub-row boundary
+        # iff d % 8 == 0 (the unpack slices the qv region at sub-row
+        # granularity); callers pad dims once — io.formats.data_align,
+        # or FusedSearcher's column zero-pad
+        raise ValueError(f"fused byte-row packing needs dim % 8 == 0, "
+                         f"got d={d}; zero-pad the vectors")
     M0 = neighbors.shape[1]
     if M0 % 16:
         # M multiple of 16 keeps every packed region on a 128-byte
@@ -290,6 +297,11 @@ class FusedSearcher:
                  chunk: int = 65536, max_degree: int = 0):
         self.metric = index.metric
         self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
+        self._col_pad = (8 - self.base.shape[1] % 8) % 8
+        if self._col_pad:
+            # zero columns change no IP/L2/cosine distance; they keep the
+            # packed qv region on the 128-byte sub-row boundary
+            self.base = jnp.pad(self.base, ((0, 0), (0, self._col_pad)))
         n, d = self.base.shape
         nb = np.asarray(index.graph.neighbors)
         if max_degree and max_degree < nb.shape[1]:
@@ -305,6 +317,8 @@ class FusedSearcher:
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
         q = prepare_vectors(queries, self.metric)
+        if self._col_pad:
+            q = jnp.pad(q, ((0, 0), (0, self._col_pad)))
         nq, d = q.shape
         qb = min(query_batch, nq)
         pad = (-nq) % qb

@@ -29,10 +29,6 @@ class Searcher:
         self.base = prepare_vectors(base, self.metric)   # device
         self.neighbors = jnp.asarray(index.graph.neighbors)
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
-        if self.metric == Metric.L2:
-            self.base_sqnorm = jnp.sum(self.base * self.base, axis=-1)
-        else:
-            self.base_sqnorm = None
 
     def search(
         self, queries: np.ndarray, k: int, L: int,
@@ -57,7 +53,7 @@ class Searcher:
             r = beam_search(self.base, self.neighbors, self.eps,
                             jax.lax.dynamic_slice_in_dim(q, s, qb),
                             k=k, L=L, metric=self.metric,
-                            base_sqnorm=self.base_sqnorm, expand=expand,
+                            expand=expand,
                             visited_mode=visited_mode)
             outs.append(r)
         if device_out:

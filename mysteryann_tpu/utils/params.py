@@ -94,18 +94,19 @@ class Parameters:
 
     Get = get
 
-    def to_build_config(self) -> BuildConfig:
+    @staticmethod
+    def _coerce(cls, kw_src: Dict[str, Any]) -> Dict[str, Any]:
+        # coerce by the dataclass field's declared type (string knobs like
+        # metric / connectivity_engine must not go through int())
         kw = {}
-        for f in dataclasses.fields(BuildConfig):
-            if f.name in self._params:
-                v = self._params[f.name]
-                kw[f.name] = str(v) if f.name == "metric" else int(v)
-        return BuildConfig(**kw)
+        for f in dataclasses.fields(cls):
+            if f.name in kw_src:
+                v = kw_src[f.name]
+                kw[f.name] = str(v) if f.type in ("str", str) else int(v)
+        return kw
+
+    def to_build_config(self) -> BuildConfig:
+        return BuildConfig(**self._coerce(BuildConfig, self._params))
 
     def to_search_config(self) -> SearchConfig:
-        kw = {}
-        for f in dataclasses.fields(SearchConfig):
-            if f.name in self._params:
-                v = self._params[f.name]
-                kw[f.name] = str(v) if f.name == "metric" else int(v)
-        return SearchConfig(**kw)
+        return SearchConfig(**self._coerce(SearchConfig, self._params))
