@@ -32,7 +32,7 @@ import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.ops.gather import gather_rows, gather_rows_any
-from mysteryann_tpu.search.beam import _INF
+from mysteryann_tpu.search.beam import _INF, _scatter_or_bits
 
 if TYPE_CHECKING:
     from mysteryann_tpu.graph.roargraph import RoarGraphIndex
@@ -78,18 +78,67 @@ def _pack_chunk(base, rows, n_base: int, M: int, d: int):
     return row.reshape(c, R // 128, 128)
 
 
+def _bitonic_merge_triple(d, i, e, L: int):
+    """Merge a sorted pool with M sorted new entries into a sorted pool.
+
+    Inputs are [B, P] with P a power of two laid out bitonically:
+    ascending pool run, then +inf padding, then the new entries in
+    DESCENDING order (ascending-then-nonincreasing = bitonic). A single
+    bitonic merge cascade — log2(P) compare-exchange stages of pure
+    vector selects — replaces a full `lax.sort`'s ~log² passes over the
+    [B, P] state, which dominates per-hop cost at large L. Order key is
+    lexicographic (dist, id), matching `lax.sort(num_keys=2)`. Returns
+    the first L columns, sorted.
+    """
+    B, P = d.shape
+    assert P & (P - 1) == 0
+    s = P // 2
+    while s >= 1:
+        dr = d.reshape(B, P // (2 * s), 2, s)
+        ir = i.reshape(B, P // (2 * s), 2, s)
+        er = e.reshape(B, P // (2 * s), 2, s)
+        lo_d, hi_d = dr[:, :, 0], dr[:, :, 1]
+        lo_i, hi_i = ir[:, :, 0], ir[:, :, 1]
+        lo_e, hi_e = er[:, :, 0], er[:, :, 1]
+        swap = (hi_d < lo_d) | ((hi_d == lo_d) & (hi_i < lo_i))
+        nlo_d = jnp.where(swap, hi_d, lo_d)
+        nhi_d = jnp.where(swap, lo_d, hi_d)
+        nlo_i = jnp.where(swap, hi_i, lo_i)
+        nhi_i = jnp.where(swap, lo_i, hi_i)
+        nlo_e = jnp.where(swap, hi_e, lo_e)
+        nhi_e = jnp.where(swap, lo_e, hi_e)
+        d = jnp.stack([nlo_d, nhi_d], axis=2).reshape(B, P)
+        i = jnp.stack([nlo_i, nhi_i], axis=2).reshape(B, P)
+        e = jnp.stack([nlo_e, nhi_e], axis=2).reshape(B, P)
+        s //= 2
+    return d[:, :L], i[:, :L], e[:, :L]
+
+
 @partial(jax.jit,
          static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d",
-                          "collect_expanded"))
+                          "collect_expanded", "visited_mode"))
 def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                 max_hops: int, n_base: int, M: int, d: int,
-                collect_expanded: int = 0):
+                collect_expanded: int = 0, visited_mode: str = "merge"):
     """`collect_expanded=H>0` additionally returns the expansion history
     (reference full_retset, src/index_bipartite.cpp:1318): the ids of the
     first H nodes popped as closest-unexpanded, in pop order — the
     candidate pool the connectivity pass prunes (with exact f32
     distances recomputed there, so int8 approximation stays confined to
-    traversal order)."""
+    traversal order).
+
+    ``visited_mode``: "merge" dedups re-encountered ids inside a full
+    pool sort (no visited state — the serving default); "bitmask" keeps
+    the reference-style visited bitmask so each id is scored exactly
+    once — reference-parity ``cmps`` accounting (merge mode re-scores
+    ids reached by several paths and honestly reports ~2x cmps). NOTE:
+    bitmask is 5-10x SLOWER on TPU at 1M despite its bitonic-merge pool
+    path, because the per-element visited probe/update runs at XLA's
+    serialized-gather rate (B x M element gathers per hop); use it for
+    parity evaluation, not serving."""
+    if visited_mode not in ("merge", "bitmask"):
+        raise ValueError(f"unknown visited_mode {visited_mode!r}")
+    use_bitmask = visited_mode == "bitmask"
     B = q.shape[0]
     n_total = n_base + 2  # sentinel node row at n_base; invalid id n_base+1
 
@@ -119,11 +168,21 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
     H = max(collect_expanded, 1)
     hist0 = jnp.full((B, H), n_total, jnp.int32)
 
+    n_words = -(-n_base // 32) if use_bitmask else 1
+    visited0 = jnp.zeros((B, n_words), jnp.uint32)
+    if use_bitmask:
+        ep_c = jnp.minimum(ep_ids, n_base - 1)
+        visited0 = _scatter_or_bits(
+            visited0, ep_c >> 5,
+            jnp.uint32(1) << (ep_c & 31).astype(jnp.uint32),
+            ep_ids < n_base)
+    P = 1 << (L + M - 1).bit_length()  # bitonic-merge width (pow2)
+
     def cond(st):
         return jnp.logical_and(jnp.any(~st[2]), st[-1] < max_hops)
 
     def body(st):
-        cand_ids, cand_d, cand_exp, cmps, hops, hist, it = st
+        cand_ids, cand_d, cand_exp, visited, cmps, hops, hist, it = st
         unexp = ~cand_exp
         has = jnp.any(unexp, axis=1)
         sel = jnp.argmax(unexp, axis=1)
@@ -161,13 +220,51 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                             preferred_element_type=jnp.float32) * sc * sc
             nd = q_sq - 2.0 * ip + vn
 
-        # No membership test, no pre-dedup: a re-encountered id is simply
-        # re-scored and killed by the id-grouped dedup in the merge below
-        # (an id quantized in two source blocks scores differently per
-        # path; the kept copy is the expanded one, else the best-scoring
-        # one). Dropped candidates provably cannot re-enter the pool
-        # (monotone L-th key, see beam.py) — and the O(F·L) membership
-        # broadcast (measured ~9 ms/step at B=8192, L=400) disappears.
+        if use_bitmask:
+            # reference VisitedListPool semantics: an id is scored once.
+            # Intra-step duplicates (same id twice in one neighbor row)
+            # reduce to the first occurrence — O(M²) VPU, M ~64.
+            in_b = nbrs < n_base
+            nb_c = jnp.where(in_b, nbrs, 0)
+            words = nb_c >> 5
+            bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
+            seen = (visited[jnp.arange(B)[:, None], words] & bits) != 0
+            earlier = (nbrs[:, :, None] == nbrs[:, None, :]) & (
+                jax.lax.broadcasted_iota(jnp.int32, (1, M, M), 2)
+                < jax.lax.broadcasted_iota(jnp.int32, (1, M, M), 1))
+            first_occ = ~jnp.any(earlier, axis=2)
+            fresh = in_b & ~seen & first_occ
+            visited = _scatter_or_bits(visited, words, bits, fresh)
+            nd = jnp.where(fresh, nd, _INF)
+            new_ids = jnp.where(fresh, nbrs, n_total)
+            cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+            hops = hops + has.astype(jnp.int32)
+            # sort the M new entries, then ONE bitonic merge into the
+            # (already sorted) pool — log2(P) select stages instead of
+            # two ~log² full sorts. (On TPU the visited probe above
+            # still dominates; see the visited_mode docstring.)
+            nd_s, ni_s, ne_s = jax.lax.sort(
+                (nd, new_ids, ~fresh), dimension=-1, num_keys=2)
+            pad_w = P - L - M
+            all_d = jnp.concatenate(
+                [cand_d, jnp.full((B, pad_w), _INF), nd_s[:, ::-1]], axis=1)
+            all_i = jnp.concatenate(
+                [cand_ids, jnp.full((B, pad_w), n_total, jnp.int32),
+                 ni_s[:, ::-1]], axis=1)
+            all_e = jnp.concatenate(
+                [cand_exp, jnp.ones((B, pad_w), jnp.bool_),
+                 ne_s[:, ::-1]], axis=1)
+            all_d, all_i, all_e = _bitonic_merge_triple(
+                all_d, all_i, all_e, L)
+            return (all_i, all_d, all_e, visited, cmps, hops, hist, it + 1)
+
+        # merge mode — no membership test, no pre-dedup: a re-encountered
+        # id is simply re-scored and killed by the id-grouped dedup in
+        # the merge below (an id quantized in two source blocks scores
+        # differently per path; the kept copy is the expanded one, else
+        # the best-scoring one). Dropped candidates provably cannot
+        # re-enter the pool (monotone L-th key, see beam.py) — and the
+        # O(F·L) membership broadcast disappears.
         fresh = nbrs < n_base
         nd = jnp.where(fresh, nd, _INF)
         new_ids = jnp.where(fresh, nbrs, n_total)
@@ -194,12 +291,13 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         all_e = jnp.where(dup, True, jnp.logical_not(not_e))
         all_d, all_i, all_e = jax.lax.sort(
             (all_d, all_i, all_e), dimension=-1, num_keys=2)
-        return (all_i[:, :L], all_d[:, :L], all_e[:, :L], cmps, hops, hist,
-                it + 1)
+        return (all_i[:, :L], all_d[:, :L], all_e[:, :L], visited, cmps,
+                hops, hist, it + 1)
 
-    st = (cand_ids, cand_d, cand_exp, jnp.full((B,), E, jnp.int32),
-          jnp.zeros((B,), jnp.int32), hist0, jnp.int32(0))
-    cand_ids, cand_d, _, cmps, hops, hist, _ = jax.lax.while_loop(
+    st = (cand_ids, cand_d, cand_exp, visited0,
+          jnp.full((B,), E, jnp.int32), jnp.zeros((B,), jnp.int32),
+          hist0, jnp.int32(0))
+    cand_ids, cand_d, _, _, cmps, hops, hist, _ = jax.lax.while_loop(
         cond, body, st)
 
     # exact f32 rerank of the pool head (also dedups residual id copies
@@ -312,7 +410,7 @@ class FusedSearcher:
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 8192, max_hops: int = 0,
-               device_out: bool = False,
+               device_out: bool = False, visited_mode: str = "auto",
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
@@ -325,13 +423,15 @@ class FusedSearcher:
         if pad:
             q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
         mh = max_hops or 4 * L + 32
+        if visited_mode == "auto":
+            visited_mode = "merge"  # bitmask = parity accounting only
         outs = []
         for s in range(0, nq + pad, qb):
             outs.append(_fused_beam(
                 self.table, self.base, self.eps,
                 jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
                 metric=self.metric, max_hops=mh, n_base=self.n_base,
-                M=self.M, d=self.d))
+                M=self.M, d=self.d, visited_mode=visited_mode))
         if device_out:
             if len(outs) == 1:
                 return tuple(o[:nq] for o in outs[0])
@@ -344,7 +444,8 @@ class FusedSearcher:
         return ids.astype(np.int32), dists, cmps, hops
 
     def benchmark(self, queries: np.ndarray, k: int, L: int,
-                  query_batch: int = 8192, warmup: int = 1) -> dict:
+                  query_batch: int = 8192, warmup: int = 1,
+                  visited_mode: str = "auto") -> dict:
         # device-timed (see FlatIndex.benchmark): results blocked on
         # device; the ~15 MB/s debug-tunnel download stays out of the
         # timed region.
@@ -352,9 +453,11 @@ class FusedSearcher:
         qb = min(query_batch, q.shape[0])
         for _ in range(warmup):
             jax.block_until_ready(
-                self.search(q[:qb], k, L, query_batch=qb, device_out=True))
+                self.search(q[:qb], k, L, query_batch=qb, device_out=True,
+                            visited_mode=visited_mode))
         t0 = time.perf_counter()
-        out = self.search(q, k, L, query_batch=qb, device_out=True)
+        out = self.search(q, k, L, query_batch=qb, device_out=True,
+                          visited_mode=visited_mode)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         ids, dists, cmps, hops = (np.asarray(o) for o in out)
