@@ -153,7 +153,10 @@ def main():
     graph_rows = []
     graph_best = None
     for L in L_SWEEP:
-        r = fused.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL)
+        # expand=4: per-step pool-maintenance costs amortize over 4
+        # expansions (measured 2.5-3x QPS at L>=250, equal-or-better
+        # recall)
+        r = fused.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL, expand=4)
         r["recall"] = compute_recall(r["ids"], gt_i, K)
         graph_rows.append({kk: vv for kk, vv in r.items()
                            if kk not in ("ids", "dists")})

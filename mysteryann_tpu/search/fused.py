@@ -116,16 +116,25 @@ def _bitonic_merge_triple(d, i, e, L: int):
 
 @partial(jax.jit,
          static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d",
-                          "collect_expanded", "visited_mode"))
+                          "collect_expanded", "visited_mode", "expand"))
 def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                 max_hops: int, n_base: int, M: int, d: int,
-                collect_expanded: int = 0, visited_mode: str = "merge"):
+                collect_expanded: int = 0, visited_mode: str = "merge",
+                expand: int = 1):
     """`collect_expanded=H>0` additionally returns the expansion history
     (reference full_retset, src/index_bipartite.cpp:1318): the ids of the
     first H nodes popped as closest-unexpanded, in pop order — the
     candidate pool the connectivity pass prunes (with exact f32
     distances recomputed there, so int8 approximation stays confined to
     traversal order).
+
+    ``expand > 1`` pops that many closest-unexpanded entries per loop
+    step (fanout expand*M): per-hop fixed costs (pool sort, loop
+    overhead) amortize over more expansions, roughly halving step count
+    at expand=2 — the high-L throughput knob, mirroring the classic
+    engine's ``expand``. Traversal order differs slightly from
+    expand=1 (the 2nd pop ignores the 1st pop's results), like the
+    reference under OpenMP interleaving.
 
     ``visited_mode``: "merge" dedups re-encountered ids inside a full
     pool sort (no visited state — the serving default); "bitmask" keeps
@@ -176,38 +185,59 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
             visited0, ep_c >> 5,
             jnp.uint32(1) << (ep_c & 31).astype(jnp.uint32),
             ep_ids < n_base)
-    P = 1 << (L + M - 1).bit_length()  # bitonic-merge width (pow2)
+    P = 1 << (L + expand * M - 1).bit_length()  # bitonic width (pow2)
 
     def cond(st):
         return jnp.logical_and(jnp.any(~st[2]), st[-1] < max_hops)
 
+    F = expand * M  # per-step fanout
+
     def body(st):
         cand_ids, cand_d, cand_exp, visited, cmps, hops, hist, it = st
         unexp = ~cand_exp
-        has = jnp.any(unexp, axis=1)
-        sel = jnp.argmax(unexp, axis=1)
-        b_i = jnp.arange(B)
-        cur = jnp.where(has, cand_ids[b_i, sel], n_base)  # n_base = sentinel
-        cand_exp = cand_exp.at[b_i, jnp.where(has, sel, L)].set(
+        if expand == 1:
+            has = jnp.any(unexp, axis=1)
+            sel = jnp.argmax(unexp, axis=1)[:, None]           # [B, 1]
+            sel_valid = has[:, None]
+        else:
+            # positions of the first `expand` unexpanded entries
+            rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1) - 1
+            onrank = unexp & (rank < expand)
+            nsel = jnp.sum(onrank, axis=1)
+            key = jnp.where(
+                onrank,
+                jax.lax.broadcasted_iota(jnp.int32, unexp.shape, 1),
+                jnp.int32(L + 1))
+            sel = jax.lax.top_k(-key, expand)[0] * -1          # [B, e]
+            sel_valid = (sel <= L) & (jax.lax.broadcasted_iota(
+                jnp.int32, sel.shape, 1) < nsel[:, None])
+            sel = jnp.minimum(sel, L - 1)
+        b_i = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+        cur = jnp.where(sel_valid, cand_ids[b_i, sel], n_base)  # sentinel
+        cand_exp = cand_exp.at[b_i, jnp.where(sel_valid, sel, L)].set(
             True, mode="drop")
         if collect_expanded > 0:
-            pos = jnp.where(has, hops, H)  # H = OOB → dropped
+            pos = hops[:, None] + jax.lax.broadcasted_iota(
+                jnp.int32, sel.shape, 1)
+            pos = jnp.where(sel_valid, pos, H)  # H = OOB → dropped
             hist = hist.at[b_i, pos].set(
-                jnp.where(has, cur, n_total), mode="drop")
+                jnp.where(sel_valid, cur, n_total), mode="drop")
 
-        # THE gather: one packed byte row per query (pallas DMA gather)
-        cur_c = jnp.minimum(cur, n_base)
-        rows = gather_rows(table, cur_c)            # [B, R/128, 128] u8
+        # THE gather: one packed byte row per expansion (pallas DMA)
+        cur_c = jnp.minimum(cur, n_base).reshape(-1)           # [B*e]
+        rows = gather_rows(table, cur_c)          # [B*e, R/128, 128] u8
         # unpack via 3D sub-row slices — flattening to [B, R] u8 forces a
         # tiled-layout copy of the whole 75 MB block every hop
         qrows = M * d // 128
         block = jax.lax.bitcast_convert_type(
-            rows[:, :qrows, :], jnp.int8).reshape(B, M, d)
-        meta = rows[:, qrows:qrows + (8 * M) // 128, :].reshape(B, 8 * M)
+            rows[:, :qrows, :], jnp.int8).reshape(B, F, d)
+        meta = rows[:, qrows:qrows + (8 * M) // 128, :].reshape(B, 8 * F)
         sc = jax.lax.bitcast_convert_type(
-            meta[:, :4 * M].reshape(B, M, 4), jnp.float32)
+            meta.reshape(B, expand, 8 * M)[:, :, :4 * M].reshape(
+                B, F, 4), jnp.float32)
         nbrs = jax.lax.bitcast_convert_type(
-            meta[:, 4 * M:].reshape(B, M, 4), jnp.int32)
+            meta.reshape(B, expand, 8 * M)[:, :, 4 * M:].reshape(
+                B, F, 4), jnp.int32)
 
         ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
@@ -230,22 +260,22 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
             bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
             seen = (visited[jnp.arange(B)[:, None], words] & bits) != 0
             earlier = (nbrs[:, :, None] == nbrs[:, None, :]) & (
-                jax.lax.broadcasted_iota(jnp.int32, (1, M, M), 2)
-                < jax.lax.broadcasted_iota(jnp.int32, (1, M, M), 1))
+                jax.lax.broadcasted_iota(jnp.int32, (1, F, F), 2)
+                < jax.lax.broadcasted_iota(jnp.int32, (1, F, F), 1))
             first_occ = ~jnp.any(earlier, axis=2)
             fresh = in_b & ~seen & first_occ
             visited = _scatter_or_bits(visited, words, bits, fresh)
             nd = jnp.where(fresh, nd, _INF)
             new_ids = jnp.where(fresh, nbrs, n_total)
             cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
-            hops = hops + has.astype(jnp.int32)
-            # sort the M new entries, then ONE bitonic merge into the
+            hops = hops + jnp.sum(sel_valid, axis=1, dtype=jnp.int32)
+            # sort the F new entries, then ONE bitonic merge into the
             # (already sorted) pool — log2(P) select stages instead of
             # two ~log² full sorts. (On TPU the visited probe above
             # still dominates; see the visited_mode docstring.)
             nd_s, ni_s, ne_s = jax.lax.sort(
                 (nd, new_ids, ~fresh), dimension=-1, num_keys=2)
-            pad_w = P - L - M
+            pad_w = P - L - F
             all_d = jnp.concatenate(
                 [cand_d, jnp.full((B, pad_w), _INF), nd_s[:, ::-1]], axis=1)
             all_i = jnp.concatenate(
@@ -269,7 +299,7 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         nd = jnp.where(fresh, nd, _INF)
         new_ids = jnp.where(fresh, nbrs, n_total)
         cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
-        hops = hops + has.astype(jnp.int32)
+        hops = hops + jnp.sum(sel_valid, axis=1, dtype=jnp.int32)
 
         all_d = jnp.concatenate([cand_d, nd], axis=1)
         all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
@@ -411,6 +441,7 @@ class FusedSearcher:
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 8192, max_hops: int = 0,
                device_out: bool = False, visited_mode: str = "auto",
+               expand: int = 1,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
@@ -431,7 +462,8 @@ class FusedSearcher:
                 self.table, self.base, self.eps,
                 jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
                 metric=self.metric, max_hops=mh, n_base=self.n_base,
-                M=self.M, d=self.d, visited_mode=visited_mode))
+                M=self.M, d=self.d, visited_mode=visited_mode,
+                expand=expand))
         if device_out:
             if len(outs) == 1:
                 return tuple(o[:nq] for o in outs[0])
@@ -445,7 +477,7 @@ class FusedSearcher:
 
     def benchmark(self, queries: np.ndarray, k: int, L: int,
                   query_batch: int = 8192, warmup: int = 1,
-                  visited_mode: str = "auto") -> dict:
+                  visited_mode: str = "auto", expand: int = 1) -> dict:
         # device-timed (see FlatIndex.benchmark): results blocked on
         # device; the ~15 MB/s debug-tunnel download stays out of the
         # timed region.
@@ -454,10 +486,10 @@ class FusedSearcher:
         for _ in range(warmup):
             jax.block_until_ready(
                 self.search(q[:qb], k, L, query_batch=qb, device_out=True,
-                            visited_mode=visited_mode))
+                            visited_mode=visited_mode, expand=expand))
         t0 = time.perf_counter()
         out = self.search(q, k, L, query_batch=qb, device_out=True,
-                          visited_mode=visited_mode)
+                          visited_mode=visited_mode, expand=expand)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         ids, dists, cmps, hops = (np.asarray(o) for o in out)
