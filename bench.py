@@ -129,19 +129,24 @@ def main():
         base_tile=131072, approx=True)[1]])
 
     index_path = os.path.join(
-        CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_fixed16_proj.index")
+        CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_p2_proj.index")
     build_secs = None
     if os.path.exists(index_path):
         index = RoarGraphIndex.load(index_path)
     else:
         log("== build ==")
+        # connectivity_passes=2: the second phase-D sweep searches the
+        # completed graph (measured at 1M: recall@10 at L=100 .794 -> .865,
+        # beating the reference's .838 on identical data, build 636 s vs
+        # its 748 s single-core)
         cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
-                          metric=METRIC, query_batch=8192, search_batch=8192)
+                          metric=METRIC, query_batch=8192, search_batch=8192,
+                          connectivity_passes=2)
         t0 = time.time()
         index = build_roargraph(
             base, train_q, knn, cfg, verbose=True,
             checkpoint_dir=os.path.join(
-                CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_fixed16_ck"))
+                CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_p2_ck"))
         build_secs = time.time() - t0
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)

@@ -481,13 +481,21 @@ def build_roargraph(
 
     # ---- Phase D: connectivity enhancement ----------------------------------
     with Timer("phaseD") as t_d:
-        supply = ckpt.load("phaseD")
-        if supply is None:
-            supply = _connectivity_pass(base_dev, projection, ep, cfg,
-                                        metric, log)
-            ckpt.save("phaseD", supply)
-        # merge novel supply edges into projection (reference :1251-1269)
-        final = _append_novel(projection, supply, cap_add=2 * M, n=n)
+        final = projection
+        for p_i in range(max(1, cfg.connectivity_passes)):
+            tag = "phaseD" if p_i == 0 else f"phaseD{p_i + 1}"
+            supply = ckpt.load(tag)
+            if supply is None:
+                supply = _connectivity_pass(base_dev, final, ep, cfg,
+                                            metric, log)
+                ckpt.save(tag, supply)
+            # merge novel supply edges into projection (reference
+            # :1251-1269); later passes (beyond-reference) search the
+            # completed graph and stay under the same 2M degree bound
+            final = _append_novel(final, supply, cap_add=2 * M, n=n)
+            if final.shape[1] > 2 * M:
+                final = _cap_degree(final, base_dev, 2 * M, metric,
+                                    cfg.query_batch, n)
         # phase E: reachability repair (reference's dead CollectPoints)
         final = _ensure_reachability(final, ep, base_dev, metric, log)
     g = PaddedGraph(neighbors=final, ep=ep)
@@ -945,6 +953,25 @@ def _ensure_reachability(final: np.ndarray, ep: int, base_dev, metric,
 def _membership(pool: np.ndarray, rows: np.ndarray, n: int) -> np.ndarray:
     """pool[b, l] ∈ rows[b, :] — bool [B, L] (host, small batches)."""
     return (pool[:, :, None] == rows[:, None, :]).any(axis=2) & (pool < n)
+
+
+def _cap_degree(rows: np.ndarray, base_dev, cap: int, metric, batch: int,
+                n: int) -> np.ndarray:
+    """Bound every row to ``cap`` edges: rows over the cap go through the
+    occlusion prune (fill pass keeps them full); rows within it are
+    copied (they are left-compacted, so truncating the width is lossless).
+    Used by multi-pass phase D to hold the reference's 2*M degree bound."""
+    deg = (rows < n).sum(axis=1)
+    out = np.full((rows.shape[0], cap), n, np.int32)
+    ok = deg <= cap
+    out[ok] = rows[ok][:, :cap]
+    over = np.nonzero(~ok)[0]
+    if over.size:
+        pruned = _batched_prune_rows(
+            base_dev, over.astype(np.int32), rows[over], cap, metric,
+            batch, fill=True)
+        out[over] = pruned
+    return out
 
 
 def _append_novel(projection: np.ndarray, supply: np.ndarray, cap_add: int,

@@ -40,6 +40,12 @@ class BuildConfig:
     # "classic" traverses f32 vectors directly (no table memory).
     # "auto" picks fused when the packed table fits the HBM budget.
     connectivity_engine: str = "auto"
+    # number of full phase-D sweeps. The reference does exactly one; a
+    # second pass re-searches every node over the COMPLETED graph (the
+    # densest, best-navigable state) and merges novel edges under the
+    # same 2*M_pjbp degree bound — a beyond-reference quality knob that
+    # costs one extra phase-D of build time.
+    connectivity_passes: int = 1
     # phase-D expansion-history length, as a multiple of L_pjpq. The
     # reference's full_retset is unbounded (every expanded node,
     # src/index_bipartite.cpp:1318); 3x captures nearly all expansions
