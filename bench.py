@@ -75,6 +75,14 @@ def read_baseline_qps() -> float:
         return 0.0
 
 
+def _finish_row(r, gt_i, gt_d, k, metric=METRIC):
+    """Attach recall + rderr, strip the bulky ids/dists arrays."""
+    from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
+    r["recall"] = compute_recall(r["ids"], gt_i, k)
+    r["rderr"] = compute_rderr(np.asarray(r["dists"]), gt_d, k, metric)
+    return {kk: vv for kk, vv in r.items() if kk not in ("ids", "dists")}
+
+
 def main():
     from mysteryann_tpu.io import make_cross_modal
     from mysteryann_tpu.ops import exact_knn
@@ -82,7 +90,6 @@ def main():
     from mysteryann_tpu.graph import build_roargraph, RoarGraphIndex
     from mysteryann_tpu.search import Searcher
     from mysteryann_tpu.utils.params import BuildConfig
-    from mysteryann_tpu.utils.metrics import compute_recall
 
     t_all = time.time()
     key = f"t2i1m_{KEY_VERSION}_{N_BASE}_{N_TRAIN}_{DIM}"
@@ -104,9 +111,7 @@ def main():
     flat = FlatIndex(base, metric=METRIC)
     flat_row = None
     for _ in range(2):  # second run = steady state
-        r = flat.benchmark(eval_q, k=K)
-        r["recall"] = compute_recall(r["ids"], gt_i, K)
-        flat_row = {kk: vv for kk, vv in r.items() if kk not in ("ids", "dists")}
+        flat_row = _finish_row(flat.benchmark(eval_q, k=K), gt_i, gt_d, K)
     log(f"flat: QPS={flat_row['qps']:.0f} recall={flat_row['recall']:.4f}")
     del flat  # release its device-resident base copy before the build
 
@@ -114,10 +119,7 @@ def main():
     flat8 = FlatIndex(base, metric=METRIC, precision="int8", oversample=4)
     flat8_row = None
     for _ in range(2):
-        r = flat8.benchmark(eval_q, k=K)
-        r["recall"] = compute_recall(r["ids"], gt_i, K)
-        flat8_row = {kk: vv for kk, vv in r.items()
-                     if kk not in ("ids", "dists")}
+        flat8_row = _finish_row(flat8.benchmark(eval_q, k=K), gt_i, gt_d, K)
     log(f"flat int8: QPS={flat8_row['qps']:.0f} "
         f"recall={flat8_row['recall']:.4f}")
     del flat8
@@ -133,6 +135,12 @@ def main():
     build_secs = None
     if os.path.exists(index_path):
         index = RoarGraphIndex.load(index_path)
+        # build time sidecar: cache hits must still report graph_build_secs
+        try:
+            with open(index_path + ".build.json") as f:
+                build_secs = json.load(f)["build_secs"]
+        except (OSError, KeyError, ValueError):
+            pass
     else:
         log("== build ==")
         # connectivity_passes=2: the second phase-D sweep searches the
@@ -150,6 +158,8 @@ def main():
         build_secs = time.time() - t0
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)
+        with open(index_path + ".build.json", "w") as f:
+            json.dump({"build_secs": round(build_secs, 1)}, f)
 
     log("== graph search sweep (fused int8 engine) ==")
     from mysteryann_tpu.search.fused import FusedSearcher
@@ -161,10 +171,10 @@ def main():
         # expand=4: per-step pool-maintenance costs amortize over 4
         # expansions (measured 2.5-3x QPS at L>=250, equal-or-better
         # recall)
-        r = fused.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL, expand=4)
-        r["recall"] = compute_recall(r["ids"], gt_i, K)
-        graph_rows.append({kk: vv for kk, vv in r.items()
-                           if kk not in ("ids", "dists")})
+        r = _finish_row(
+            fused.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL, expand=4),
+            gt_i, gt_d, K)
+        graph_rows.append(r)
         log(f"L={L}: QPS={r['qps']:.0f} recall={r['recall']:.4f} "
             f"cmps={r['avg_cmps']:.0f} hops={r['avg_hops']:.0f}")
         if r["recall"] >= TARGET_RECALL:
@@ -174,12 +184,11 @@ def main():
 
     # classic engine, one parity row (same graph, f32 vectors)
     searcher = Searcher(index, base)
-    r = searcher.benchmark(eval_q, k=K, L=100, query_batch=N_EVAL,
-                           visited_mode="pool", expand=2)
-    r["recall"] = compute_recall(r["ids"], gt_i, K)
-    classic_row = {kk: vv for kk, vv in r.items()
-                   if kk not in ("ids", "dists")}
-    log(f"classic L=100: QPS={r['qps']:.0f} recall={r['recall']:.4f}")
+    classic_row = _finish_row(
+        searcher.benchmark(eval_q, k=K, L=100, query_batch=N_EVAL,
+                           visited_mode="pool", expand=2), gt_i, gt_d, K)
+    log(f"classic L=100: QPS={classic_row['qps']:.0f} "
+        f"recall={classic_row['recall']:.4f}")
 
     # headline: best mode meeting the recall target
     candidates = [row for row in ([flat_row, flat8_row]

@@ -40,6 +40,7 @@ import dataclasses
 import json
 import os
 import struct
+import warnings
 from typing import Optional, Tuple
 
 from functools import partial
@@ -108,14 +109,19 @@ def save_projection_graph(path: str, g: PaddedGraph) -> None:
         if rc != 0:
             raise OSError(f"native save failed ({rc}) for {path}")
         return
+    # vectorized fallback: assemble the [deg, ids…]* word stream in one
+    # array instead of 2 Python calls per node (minutes at 10M nodes)
     valid = nb < n
-    degs = valid.sum(axis=1).astype(np.uint32)
+    degs = valid.sum(axis=1).astype(np.int64)
+    row_starts = np.zeros(n, np.int64)
+    np.cumsum(1 + degs[:-1], out=row_starts[1:])
+    out = np.empty(int(n + degs.sum()), np.uint32)
+    out[row_starts] = degs.astype(np.uint32)
+    rank = np.cumsum(valid, axis=1) - 1
+    out[(row_starts[:, None] + 1 + rank)[valid]] = nb[valid].astype(np.uint32)
     with open(path, "wb") as f:
         f.write(struct.pack("<II", g.ep, n))
-        for i in range(n):
-            row = nb[i, valid[i]].astype(np.uint32)
-            f.write(struct.pack("<I", degs[i]))
-            row.tofile(f)
+        out.tofile(f)
 
 
 def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph:
@@ -145,20 +151,28 @@ def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph
     with open(path, "rb") as f:
         ep, n = struct.unpack("<II", f.read(8))
         payload = np.fromfile(f, dtype=np.uint32)
-    lists = []
+    if n > 1_000_000:
+        warnings.warn(
+            f"native loader unavailable; Python fallback parsing {n} "
+            "adjacency rows (build mysteryann_tpu/native for large graphs)")
+    # row starts follow the data-dependent recurrence s+1+deg — the only
+    # sequential part; degree extraction and id placement are vectorized
+    starts = np.empty(n, np.int64)
     off = 0
-    maxdeg = 1
-    for _ in range(n):
-        deg = int(payload[off]); off += 1
-        lists.append(payload[off:off + deg].astype(np.int32)); off += deg
-        maxdeg = max(maxdeg, deg)
+    words = payload.tolist()  # python-int walk beats numpy scalar indexing
+    for i in range(n):
+        starts[i] = off
+        off += 1 + words[off]
     if off != payload.size:
         raise ValueError(f"{path}: trailing bytes in projection graph file")
-    m_pad = m_pad or maxdeg
+    degs = payload[starts].astype(np.int64)
+    m_pad = m_pad or max(int(degs.max(initial=0)), 1)
     nb = np.full((n, m_pad), n, np.int32)
-    for i, row in enumerate(lists):
-        # truncate rows wider than m_pad (matches the native loader)
-        nb[i, : min(len(row), m_pad)] = row[:m_pad]
+    cols = np.arange(m_pad, dtype=np.int64)
+    # truncate rows wider than m_pad (matches the native loader)
+    mask = cols[None, :] < np.minimum(degs, m_pad)[:, None]
+    pos = starts[:, None] + 1 + cols[None, :]
+    nb[mask] = payload[pos[mask]].astype(np.int32)
     return PaddedGraph(neighbors=nb, ep=int(ep))
 
 
@@ -683,20 +697,14 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
 
     # Round schedule trades build time for fidelity to the reference's
     # fully incremental pass (each node's search sees all previous
-    # nodes' edges). The post-phase-BC graph is SPARSE (avg degree ~4,
-    # half the nodes empty), so the earliest searches matter most: a
-    # fixed split makes the whole first chunk search that sparse graph
-    # in lockstep from the same medoid — correlated, redundant supply
-    # lists — where the reference bootstraps per node. Geometric chunks
-    # (c0 doubling, capped at n/4) put the round boundaries where the
-    # graph is changing fastest at the same total round count.
-    # connectivity_iters > 0 forces that many fixed equal chunks.
-    # Schedule study (1M, identical data/params, full 32k eval): fixed-16
-    # .7938, fixed-32 .7900, geometric-doubling .7912 at L=100 — round
-    # granularity beyond 16 is noise at 1M (±1pt run sensitivity), while
-    # at 100k fixed-32 gained +1.5pt (.9440 vs .9285). Default 16 (one
-    # compiled fold/pack shape, fastest build); raise connectivity_iters
-    # on small corpora where build time is cheap.
+    # nodes' edges). Only fixed equal chunks are implemented:
+    # connectivity_iters rounds of ceil(n/rounds) nodes (0 = 16). A
+    # geometric-doubling schedule was studied and removed — at 1M with
+    # identical data/params and full 32k eval it was noise (fixed-16
+    # .7938, fixed-32 .7900, geometric .7912 at L=100, ±1pt run
+    # sensitivity), while each extra chunk shape costs a ~20 s compile.
+    # At 100k fixed-32 gained +1.5pt (.9440 vs .9285) — raise
+    # connectivity_iters on small corpora where build time is cheap.
     rounds = cfg.connectivity_iters or 16
     chunks = [-(-n // rounds)] * rounds
     # live supply graph, width 2M (insertion budget) — DEVICE-resident:

@@ -64,7 +64,7 @@ def _gather_call(table, idx_p, block: int, interpret: bool):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bp // block,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(
                 (block,) + row_shape,
                 lambda g, idx_ref: (g,) + (0,) * len(row_shape)),

@@ -14,12 +14,29 @@ from mysteryann_tpu.ops.distances import Metric
 
 
 def compute_recall(found_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> float:
-    found = found_ids[:, :k]
-    gt = gt_ids[:, :k]
-    hits = 0
-    for f, g in zip(found, gt):
-        hits += len(np.intersect1d(f, g, assume_unique=False))
-    return hits / (gt.shape[0] * k)
+    # vectorized set-intersection: sort each row of both sides, then count
+    # membership via searchsorted — O(Q·k·log k), no per-query Python loop
+    # (a 32k-query bench row was spending seconds in intersect1d calls)
+    found = np.sort(found_ids[:, :k].astype(np.int64), axis=1)
+    gt = np.sort(gt_ids[:, :k].astype(np.int64), axis=1)
+    q = gt.shape[0]
+    # dedup within each row (matches intersect1d's set semantics): an id
+    # equal to its left neighbor contributes no new hit
+    f_uniq = np.concatenate(
+        [np.ones((q, 1), bool), found[:, 1:] != found[:, :-1]], axis=1)
+    g_uniq = np.concatenate(
+        [np.ones((q, 1), bool), gt[:, 1:] != gt[:, :-1]], axis=1)
+    # row-offset trick: shift each row into a disjoint value range so one
+    # flat searchsorted handles all queries at once
+    span = max(int(found.max(initial=0)), int(gt.max(initial=0))) + 2
+    off = (np.arange(q, dtype=np.int64) * span)[:, None]
+    g_flat = np.where(g_uniq, gt + off, -1).ravel()
+    g_flat = np.sort(g_flat)
+    f_flat = (found + off).ravel()
+    pos = np.searchsorted(g_flat, f_flat)
+    pos = np.minimum(pos, g_flat.size - 1)
+    hit = (g_flat[pos] == f_flat) & f_uniq.ravel()
+    return float(hit.sum() / (q * k))
 
 
 def compute_rderr(found_dists: np.ndarray, gt_dists: np.ndarray, k: int,

@@ -33,7 +33,7 @@ class BuildConfig:
     # TPU batching knobs (no reference analogue — OpenMP picked thread counts)
     query_batch: int = 8192      # phase-A queries pruned per device batch
     search_batch: int = 1024     # phase-D nodes searched per device batch
-    connectivity_iters: int = 0  # 0 = auto (derived from L_pjpq)
+    connectivity_iters: int = 0  # 0 = auto (fixed 16 rounds)
     # phase-D search engine: "fused" packs the live supply graph into
     # int8 neighbor-block byte rows each round (one DMA per hop — ~8x
     # the classic traversal; the prune still uses exact f32 distances);

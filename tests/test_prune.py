@@ -102,6 +102,33 @@ def test_prune_not_seedable(rng):
     assert got[0] != closest
 
 
+def test_prune_two_pass_readmits_pre_seed_skip():
+    """Reference second pass (src/index_bipartite.cpp:1897-1931): a
+    not-seedable candidate positioned before the seed is skipped
+    permanently in pass 1, but re-scanned — and here readmitted — by
+    pass 2 against the pass-1 kept set."""
+    n, d, cap = 10, 2, 3
+    base = np.zeros((n, d), np.float32)
+    base[0] = [0.0, 0.0]        # src
+    base[1] = [1.0, 0.0]        # c1: closest, not seedable
+    base[2] = [0.0, 2.0]        # c2: seed; pd(c2,c1)=5 > d(c1)=1 → no occl.
+    cand = np.array([[1, 2]], np.int32)
+    ns = np.array([[True, False]])
+    src_vecs = base[[0]]
+    cd, _ = _device_dists(src_vecs, cand, base, Metric.L2)
+    common = dict(cap=cap, metric=Metric.L2, fill=False,
+                  not_seedable=jnp.array(ns))
+    one, cnt1 = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array([np.int32(0)]), jnp.array(cand),
+        jnp.array(cd), jnp.array(base), **common)
+    two, cnt2 = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array([np.int32(0)]), jnp.array(cand),
+        jnp.array(cd), jnp.array(base), two_pass=True, **common)
+    assert [int(x) for x in np.asarray(one)[0] if x < n] == [2]
+    assert [int(x) for x in np.asarray(two)[0] if x < n] == [1, 2]
+    assert int(cnt1[0]) == 1 and int(cnt2[0]) == 2
+
+
 def test_prune_degree_bound_and_dedup(rng):
     n, d, B, cap = 300, 12, 4, 10
     base = rng.standard_normal((n, d)).astype(np.float32)
