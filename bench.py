@@ -46,6 +46,11 @@ K = 10
 M_SQ, M_PJBP, L_PJPQ = 64, 32, 128
 TARGET_RECALL = 0.95
 L_SWEEP = (10, 20, 40, 70, 100, 150, 250, 400, 700)
+# seeded graph serving (the record config, see BASELINE.md): per-query
+# entry points from a strided 1-in-4 bf16 sample scan, 40-wide packed
+# rows, 32 seeds
+SEED_SAMPLE, SEED_MAX_DEGREE, SEEDS = 4, 40, 32
+SEEDED_L_SWEEP = (70, 100, 125, 150, 200, 250, 400)
 
 
 def log(*a, **k):
@@ -161,18 +166,21 @@ def main():
         with open(index_path + ".build.json", "w") as f:
             json.dump({"build_secs": round(build_secs, 1)}, f)
 
-    log("== graph search sweep (fused int8 engine) ==")
+    log("== graph search sweep (fused int8 engine, seeded) ==")
     from mysteryann_tpu.search.fused import FusedSearcher
 
-    fused = FusedSearcher(index, base)
+    fused = FusedSearcher(index, base, max_degree=SEED_MAX_DEGREE,
+                          seed_sample=SEED_SAMPLE)
     graph_rows = []
     graph_best = None
-    for L in L_SWEEP:
+    for L in SEEDED_L_SWEEP:
         # expand=4: per-step pool-maintenance costs amortize over 4
-        # expansions (measured 2.5-3x QPS at L>=250, equal-or-better
-        # recall)
+        # expansions; seeds=32 from the coarse sample scan (entry points
+        # inside the target neighborhood — measured 2.4x QPS at the .95
+        # recall point vs the medoid walk, see BASELINE.md)
         r = _finish_row(
-            fused.benchmark(eval_q, k=K, L=L, query_batch=N_EVAL, expand=4),
+            fused.benchmark(eval_q, k=K, L=L, query_batch=8192, expand=4,
+                            seeds=SEEDS),
             gt_i, gt_d, K)
         graph_rows.append(r)
         log(f"L={L}: QPS={r['qps']:.0f} recall={r['recall']:.4f} "

@@ -161,14 +161,14 @@ class FlatIndex:
         # address space); our host link here is a ~15 MB/s debug tunnel,
         # not the production PCIe path, so including the download would
         # measure the tunnel, not the chip.
+        from mysteryann_tpu.utils.fence import fence
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
         for _ in range(warmup):
-            r = self.search(q[:qb], k, query_batch=qb, device_out=True)
-            jax.block_until_ready(r)
+            fence(self.search(q[:qb], k, query_batch=qb, device_out=True))
         t0 = time.perf_counter()
         ids, dists = self.search(q, k, query_batch=qb, device_out=True)
-        jax.block_until_ready((ids, dists))
+        fence((ids, dists))
         dt = time.perf_counter() - t0
         return {
             "qps": q.shape[0] / dt,

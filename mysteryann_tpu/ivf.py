@@ -329,13 +329,14 @@ class IVFIndex:
         # of the algorithm, not the harness.
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
+        from mysteryann_tpu.utils.fence import fence
         for _ in range(warmup):
-            jax.block_until_ready(self.search(
+            fence(self.search(
                 q[:qb], k, nprobe=nprobe, query_batch=qb, device_out=True))
         t0 = time.perf_counter()
         out = self.search(q, k, nprobe=nprobe, query_batch=qb,
                           device_out=True)
-        jax.block_until_ready(out)
+        fence(out)
         dt = time.perf_counter() - t0
         ids, dists = (np.asarray(o) for o in out)
         ids = ids.astype(np.int32)

@@ -116,11 +116,13 @@ def _bitonic_merge_triple(d, i, e, L: int):
 
 @partial(jax.jit,
          static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d",
-                          "collect_expanded", "visited_mode", "expand"))
+                          "collect_expanded", "visited_mode", "expand",
+                          "exit_f"))
 def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                 max_hops: int, n_base: int, M: int, d: int,
                 collect_expanded: int = 0, visited_mode: str = "merge",
-                expand: int = 1):
+                expand: int = 1, seed_ids=None, seed_d=None,
+                exit_f: float | None = None):
     """`collect_expanded=H>0` additionally returns the expansion history
     (reference full_retset, src/index_bipartite.cpp:1318): the ids of the
     first H nodes popped as closest-unexpanded, in pop order — the
@@ -144,24 +146,47 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
     bitmask is 5-10x SLOWER on TPU at 1M despite its bitonic-merge pool
     path, because the per-element visited probe/update runs at XLA's
     serialized-gather rate (B x M element gathers per hop); use it for
-    parity evaluation, not serving."""
+    parity evaluation, not serving.
+
+    ``seed_ids``/``seed_d`` ([B, S] int32 / f32): per-query entry
+    points replacing the global medoid ``eps`` — produced by the coarse
+    sampled-subset MXU scan (`FusedSearcher(seed_sample=...)`), the
+    TPU-native analogue of HNSW's upper hierarchy levels. The beam
+    starts inside the target neighborhood instead of walking from the
+    medoid, which lifts recall at a given L and (with ``exit_f``) cuts
+    hop counts. Seed distances may be approximate; traversal order uses
+    them as-is and the final f32 rerank reports exact distances.
+
+    ``exit_f``: optional early-termination factor. After each merge a
+    query stops (its pool is marked fully expanded) once
+    ``min_unexpanded_dist > d_k + exit_f * (d_k - d_0)`` — its closest
+    unexpanded candidate can no longer plausibly improve the top-k.
+    ``exit_f=0`` is the aggressive HNSW-style rule; larger values
+    explore further. The reference always pops the full L-queue
+    (src/index_bipartite.cpp:2356-2405); this knob is a beyond-reference
+    throughput trade whose recall cost is measured, not assumed."""
     if visited_mode not in ("merge", "bitmask"):
         raise ValueError(f"unknown visited_mode {visited_mode!r}")
     use_bitmask = visited_mode == "bitmask"
     B = q.shape[0]
     n_total = n_base + 2  # sentinel node row at n_base; invalid id n_base+1
 
-    # seed
-    E = eps.shape[0]
-    ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
-    ep_v = jnp.take(base, ep_ids.reshape(-1), axis=0).reshape(B, E, d)
-    ep_ip = jnp.einsum("bd,bed->be", q, ep_v,
-                       preferred_element_type=jnp.float32)
-    if metric in (Metric.IP, Metric.COSINE):
-        ep_d = -ep_ip
+    # seed: per-query coarse-scan seeds when provided, else the global eps
+    if seed_ids is not None:
+        E = seed_ids.shape[1]
+        ep_ids = seed_ids.astype(jnp.int32)
+        ep_d = seed_d
     else:
-        ep_d = (jnp.sum(q * q, 1, keepdims=True) - 2 * ep_ip
-                + jnp.sum(ep_v * ep_v, 2))
+        E = eps.shape[0]
+        ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
+        ep_v = jnp.take(base, ep_ids.reshape(-1), axis=0).reshape(B, E, d)
+        ep_ip = jnp.einsum("bd,bed->be", q, ep_v,
+                           preferred_element_type=jnp.float32)
+        if metric in (Metric.IP, Metric.COSINE):
+            ep_d = -ep_ip
+        else:
+            ep_d = (jnp.sum(q * q, 1, keepdims=True) - 2 * ep_ip
+                    + jnp.sum(ep_v * ep_v, 2))
     pad = L - E
     cand_ids = jnp.concatenate(
         [ep_ids, jnp.full((B, pad), n_total, jnp.int32)], axis=1)
@@ -191,6 +216,18 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         return jnp.logical_and(jnp.any(~st[2]), st[-1] < max_hops)
 
     F = expand * M  # per-step fanout
+
+    def maybe_exit(pool_d, pool_e):
+        # early termination (see docstring): a query whose closest
+        # unexpanded candidate is beyond d_k + exit_f*(d_k - d_0) marks
+        # its whole pool expanded and drops out of the loop condition
+        if exit_f is None:
+            return pool_e
+        d0 = pool_d[:, 0]
+        dk = pool_d[:, k - 1]
+        min_unexp = jnp.min(jnp.where(pool_e, _INF, pool_d), axis=1)
+        stop = (min_unexp > dk + exit_f * (dk - d0)) & jnp.isfinite(dk)
+        return pool_e | stop[:, None]
 
     def body(st):
         cand_ids, cand_d, cand_exp, visited, cmps, hops, hist, it = st
@@ -286,6 +323,7 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                  ne_s[:, ::-1]], axis=1)
             all_d, all_i, all_e = _bitonic_merge_triple(
                 all_d, all_i, all_e, L)
+            all_e = maybe_exit(all_d, all_e)
             return (all_i, all_d, all_e, visited, cmps, hops, hist, it + 1)
 
         # merge mode — no membership test, no pre-dedup: a re-encountered
@@ -321,7 +359,8 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         all_e = jnp.where(dup, True, jnp.logical_not(not_e))
         all_d, all_i, all_e = jax.lax.sort(
             (all_d, all_i, all_e), dimension=-1, num_keys=2)
-        return (all_i[:, :L], all_d[:, :L], all_e[:, :L], visited, cmps,
+        out_e = maybe_exit(all_d[:, :L], all_e[:, :L])
+        return (all_i[:, :L], all_d[:, :L], out_e, visited, cmps,
                 hops, hist, it + 1)
 
     st = (cand_ids, cand_d, cand_exp, visited0,
@@ -418,11 +457,33 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
     return table, M
 
 
+@partial(jax.jit, static_argnames=("n_seeds", "metric"))
+def _seed_scan(samp, samp_sq, samp_ids, q, n_seeds: int, metric: Metric):
+    """Coarse scan over the sampled subset: top-`n_seeds` per query.
+
+    One bf16 MXU matmul over the [S_total, d] sample — at a 1/64
+    sampling rate this costs ~1/64 of a flat scan (~0.3 ms for 8k
+    queries at 1M/128d) and lands the beam inside the target
+    neighborhood, the role HNSW's upper layers play on CPU."""
+    ip = jnp.einsum("bd,sd->bs", q.astype(jnp.bfloat16), samp,
+                    preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        dist = -ip
+    else:
+        dist = jnp.sum(q * q, axis=1, keepdims=True) - 2.0 * ip + samp_sq
+    vals, idx = jax.lax.approx_min_k(dist, n_seeds)
+    return jnp.take(samp_ids, idx), vals
+
+
 class FusedSearcher:
     """Serving engine over inline int8 neighbor-block byte rows."""
 
     def __init__(self, index: "RoarGraphIndex", base: np.ndarray,
-                 chunk: int = 65536, max_degree: int = 0):
+                 chunk: int = 65536, max_degree: int = 0,
+                 seed_sample: int = 0):
+        """``seed_sample=r`` (e.g. 64) keeps a strided 1-in-r sample of
+        the base resident in bf16 for per-query entry-point scans
+        (`search(seeds=...)`)."""
         self.metric = index.metric
         self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
         self._col_pad = (8 - self.base.shape[1] % 8) % 8
@@ -437,12 +498,24 @@ class FusedSearcher:
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
         self.table, self.M = pack_neighbor_table(self.base, nb, chunk=chunk)
         self.n_base, self.d = n, d
+        self._samp = None
+        if seed_sample:
+            ids = np.arange(0, n, seed_sample, dtype=np.int32)
+            samp = self.base[jnp.asarray(ids)]
+            self._samp = (samp.astype(jnp.bfloat16),
+                          jnp.sum(samp * samp, axis=1),
+                          jnp.asarray(ids))
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 8192, max_hops: int = 0,
                device_out: bool = False, visited_mode: str = "auto",
-               expand: int = 1,
+               expand: int = 1, seeds: int = 0,
+               exit_f: float | None = None,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        if seeds and self._samp is None:
+            raise ValueError("seeds > 0 needs FusedSearcher(seed_sample=r)")
+        if seeds > L:
+            raise ValueError(f"seeds ({seeds}) must be <= L ({L})")
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
         q = prepare_vectors(queries, self.metric)
@@ -458,12 +531,18 @@ class FusedSearcher:
             visited_mode = "merge"  # bitmask = parity accounting only
         outs = []
         for s in range(0, nq + pad, qb):
+            qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
+            seed_ids = seed_d = None
+            if seeds:
+                seed_ids, seed_d = _seed_scan(
+                    *self._samp, qs, n_seeds=seeds, metric=self.metric)
             outs.append(_fused_beam(
                 self.table, self.base, self.eps,
-                jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
+                qs, k=k, L=L,
                 metric=self.metric, max_hops=mh, n_base=self.n_base,
                 M=self.M, d=self.d, visited_mode=visited_mode,
-                expand=expand))
+                expand=expand, seed_ids=seed_ids, seed_d=seed_d,
+                exit_f=exit_f))
         if device_out:
             if len(outs) == 1:
                 return tuple(o[:nq] for o in outs[0])
@@ -477,20 +556,22 @@ class FusedSearcher:
 
     def benchmark(self, queries: np.ndarray, k: int, L: int,
                   query_batch: int = 8192, warmup: int = 1,
-                  visited_mode: str = "auto", expand: int = 1) -> dict:
+                  visited_mode: str = "auto", expand: int = 1,
+                  seeds: int = 0, exit_f: float | None = None) -> dict:
         # device-timed (see FlatIndex.benchmark): results blocked on
         # device; the ~15 MB/s debug-tunnel download stays out of the
         # timed region.
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
+        kw = dict(visited_mode=visited_mode, expand=expand, seeds=seeds,
+                  exit_f=exit_f)
+        from mysteryann_tpu.utils.fence import fence
         for _ in range(warmup):
-            jax.block_until_ready(
-                self.search(q[:qb], k, L, query_batch=qb, device_out=True,
-                            visited_mode=visited_mode, expand=expand))
+            fence(self.search(q[:qb], k, L, query_batch=qb, device_out=True,
+                              **kw))
         t0 = time.perf_counter()
-        out = self.search(q, k, L, query_batch=qb, device_out=True,
-                          visited_mode=visited_mode, expand=expand)
-        jax.block_until_ready(out)
+        out = self.search(q, k, L, query_batch=qb, device_out=True, **kw)
+        fence(out)
         dt = time.perf_counter() - t0
         ids, dists, cmps, hops = (np.asarray(o) for o in out)
         return {"L_pq": L, "k": k, "qps": q.shape[0] / dt,

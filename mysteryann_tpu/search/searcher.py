@@ -80,14 +80,14 @@ class Searcher:
         host link here is a ~15 MB/s debug tunnel, not production PCIe)."""
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
+        from mysteryann_tpu.utils.fence import fence
         for _ in range(warmup):  # compile + warm cache (reference warms 100q)
-            jax.block_until_ready(
-                self.search(q[:qb], k, L, query_batch=qb, expand=expand,
-                            visited_mode=visited_mode, device_out=True))
+            fence(self.search(q[:qb], k, L, query_batch=qb, expand=expand,
+                              visited_mode=visited_mode, device_out=True))
         t0 = time.perf_counter()
         out = self.search(q, k, L, query_batch=qb, expand=expand,
                           visited_mode=visited_mode, device_out=True)
-        jax.block_until_ready(out)
+        fence(out)
         dt = time.perf_counter() - t0
         ids, dists, cmps, hops = (np.asarray(o) for o in out)
         return {

@@ -40,6 +40,41 @@ def test_fused_recall_close_to_f32(built):
     assert np.all(cmps > 0) and np.all(hops > 0)
 
 
+def test_fused_seeded_search(built):
+    base, eval_q, index, gt = built
+    fused = FusedSearcher(index, base, seed_sample=8)
+    ids, dists, cmps, hops = fused.search(eval_q, k=10, L=64,
+                                          query_batch=300, seeds=16)
+    plain, *_ = fused.search(eval_q, k=10, L=64, query_batch=300)
+    rs = compute_recall(ids, gt, 10)
+    rp = compute_recall(plain, gt, 10)
+    # per-query seeds replace the medoid walk: recall never collapses and
+    # typically improves (the beam starts inside the target neighborhood)
+    assert rs > rp - 0.02, f"seeded {rs} vs medoid {rp}"
+    assert np.all(np.diff(dists, axis=1) >= -1e-5)
+
+
+def test_fused_seed_validation(built):
+    base, eval_q, index, gt = built
+    plain = FusedSearcher(index, base)  # no sample kept
+    with pytest.raises(ValueError):
+        plain.search(eval_q[:4], k=5, L=32, seeds=8)
+    seeded = FusedSearcher(index, base, seed_sample=8)
+    with pytest.raises(ValueError):
+        seeded.search(eval_q[:4], k=5, L=32, seeds=64)  # seeds > L
+
+
+def test_fused_early_exit_trades_hops_for_recall(built):
+    base, eval_q, index, gt = built
+    fused = FusedSearcher(index, base, seed_sample=8)
+    full = fused.search(eval_q, k=10, L=96, query_batch=300, seeds=16)
+    fast = fused.search(eval_q, k=10, L=96, query_batch=300, seeds=16,
+                        exit_f=0.5)
+    assert float(fast[3].mean()) < float(full[3].mean())  # fewer hops
+    rf = compute_recall(fast[0], gt, 10)
+    assert rf > compute_recall(full[0], gt, 10) - 0.1  # bounded recall cost
+
+
 def test_fused_dists_are_exact(built):
     base, eval_q, index, gt = built
     fused = FusedSearcher(index, base)
