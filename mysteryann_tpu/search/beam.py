@@ -102,6 +102,8 @@ def beam_search(
     visited_mode: str = "bitmask",
     collect_expanded: int = 0,
     query_vecs_for_graph: jax.Array | None = None,
+    seed_ids: jax.Array | None = None,   # int32 [B, S] per-query entries
+    seed_d: jax.Array | None = None,     # f32 [B, S] their distances
 ) -> SearchResult:
     """Best-first beam search of `queries` over the padded graph.
 
@@ -155,8 +157,16 @@ def beam_search(
         return gather_rows_any(base, flat).reshape(ids.shape + (d,))
 
     # ---- seed pool with entry points -------------------------------------
-    ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
-    ep_d = _batch_dist(queries, gather_vecs(ep_ids), metric)
+    # per-query seeds (coarse-scan entry points, see search.fused._seed_scan)
+    # replace the shared medoid when provided
+    if seed_ids is not None:
+        E = seed_ids.shape[1]
+        ep_ids = seed_ids.astype(jnp.int32)
+        ep_d = (seed_d if seed_d is not None
+                else _batch_dist(queries, gather_vecs(ep_ids), metric))
+    else:
+        ep_ids = jnp.broadcast_to(eps[None, :], (B, E)).astype(jnp.int32)
+        ep_d = _batch_dist(queries, gather_vecs(ep_ids), metric)
     pad = L - E
     assert pad >= 0, f"L={L} must be >= number of entry points E={E}"
     cand_ids = jnp.concatenate(

@@ -33,6 +33,7 @@ import numpy as np
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.ops.gather import gather_rows, gather_rows_any
 from mysteryann_tpu.search.beam import _INF, _scatter_or_bits
+from mysteryann_tpu.search.seeding import make_seed_sample, seed_scan
 
 if TYPE_CHECKING:
     from mysteryann_tpu.graph.roargraph import RoarGraphIndex
@@ -457,24 +458,6 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
     return table, M
 
 
-@partial(jax.jit, static_argnames=("n_seeds", "metric"))
-def _seed_scan(samp, samp_sq, samp_ids, q, n_seeds: int, metric: Metric):
-    """Coarse scan over the sampled subset: top-`n_seeds` per query.
-
-    One bf16 MXU matmul over the [S_total, d] sample — at a 1/64
-    sampling rate this costs ~1/64 of a flat scan (~0.3 ms for 8k
-    queries at 1M/128d) and lands the beam inside the target
-    neighborhood, the role HNSW's upper layers play on CPU."""
-    ip = jnp.einsum("bd,sd->bs", q.astype(jnp.bfloat16), samp,
-                    preferred_element_type=jnp.float32)
-    if metric in (Metric.IP, Metric.COSINE):
-        dist = -ip
-    else:
-        dist = jnp.sum(q * q, axis=1, keepdims=True) - 2.0 * ip + samp_sq
-    vals, idx = jax.lax.approx_min_k(dist, n_seeds)
-    return jnp.take(samp_ids, idx), vals
-
-
 class FusedSearcher:
     """Serving engine over inline int8 neighbor-block byte rows."""
 
@@ -498,13 +481,8 @@ class FusedSearcher:
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
         self.table, self.M = pack_neighbor_table(self.base, nb, chunk=chunk)
         self.n_base, self.d = n, d
-        self._samp = None
-        if seed_sample:
-            ids = np.arange(0, n, seed_sample, dtype=np.int32)
-            samp = self.base[jnp.asarray(ids)]
-            self._samp = (samp.astype(jnp.bfloat16),
-                          jnp.sum(samp * samp, axis=1),
-                          jnp.asarray(ids))
+        self._samp = (make_seed_sample(self.base, seed_sample)
+                      if seed_sample else None)
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 8192, max_hops: int = 0,
@@ -534,7 +512,7 @@ class FusedSearcher:
             qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
             seed_ids = seed_d = None
             if seeds:
-                seed_ids, seed_d = _seed_scan(
+                seed_ids, seed_d = seed_scan(
                     *self._samp, qs, n_seeds=seeds, metric=self.metric)
             outs.append(_fused_beam(
                 self.table, self.base, self.eps,

@@ -18,28 +18,40 @@ import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
 from mysteryann_tpu.search.beam import beam_search
+from mysteryann_tpu.search.seeding import make_seed_sample, seed_scan
 
 if TYPE_CHECKING:  # avoid circular import (graph.roargraph uses search.beam)
     from mysteryann_tpu.graph.roargraph import RoarGraphIndex
 
 
 class Searcher:
-    def __init__(self, index: "RoarGraphIndex", base: np.ndarray):
+    def __init__(self, index: "RoarGraphIndex", base: np.ndarray,
+                 seed_sample: int = 0):
+        """``seed_sample=r`` keeps a strided 1-in-r bf16 base sample
+        resident for per-query entry-point scans (`search(seeds=S)`) —
+        see search.seeding."""
         self.metric = index.metric
         self.base = prepare_vectors(base, self.metric)   # device
         self.neighbors = jnp.asarray(index.graph.neighbors)
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
+        self._samp = (make_seed_sample(self.base, seed_sample)
+                      if seed_sample else None)
 
     def search(
         self, queries: np.ndarray, k: int, L: int,
         query_batch: int = 1024, expand: int = 1,
         visited_mode: str = "bitmask", device_out: bool = False,
+        seeds: int = 0,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Returns (ids [Q,k], dists [Q,k], cmps [Q], hops [Q]).
 
         Queries stay device-resident between batches — no host round trip.
         ``device_out=True`` leaves results on device.
         """
+        if seeds and self._samp is None:
+            raise ValueError("seeds > 0 needs Searcher(seed_sample=r)")
+        if seeds > L:
+            raise ValueError(f"seeds ({seeds}) must be <= L ({L})")
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
         q = prepare_vectors(queries, self.metric)
@@ -50,11 +62,17 @@ class Searcher:
             q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
         outs = []
         for s in range(0, nq + pad, qb):
+            qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
+            seed_ids = seed_d = None
+            if seeds:
+                seed_ids, seed_d = seed_scan(
+                    *self._samp, qs, n_seeds=seeds, metric=self.metric)
             r = beam_search(self.base, self.neighbors, self.eps,
-                            jax.lax.dynamic_slice_in_dim(q, s, qb),
+                            qs,
                             k=k, L=L, metric=self.metric,
                             expand=expand,
-                            visited_mode=visited_mode)
+                            visited_mode=visited_mode,
+                            seed_ids=seed_ids, seed_d=seed_d)
             outs.append(r)
         if device_out:
             if len(outs) == 1:
@@ -72,7 +90,8 @@ class Searcher:
 
     def benchmark(self, queries: np.ndarray, k: int, L: int,
                   query_batch: int = 1024, warmup: int = 1,
-                  expand: int = 1, visited_mode: str = "bitmask") -> dict:
+                  expand: int = 1, visited_mode: str = "bitmask",
+                  seeds: int = 0) -> dict:
         """Timed sweep entry — the reference driver's per-L_pq row
         (tests/test_search_roargraph.cpp:190,231-236). Device-timed:
         queries staged in HBM before timing (reference: in RAM), results
@@ -83,10 +102,12 @@ class Searcher:
         from mysteryann_tpu.utils.fence import fence
         for _ in range(warmup):  # compile + warm cache (reference warms 100q)
             fence(self.search(q[:qb], k, L, query_batch=qb, expand=expand,
-                              visited_mode=visited_mode, device_out=True))
+                              visited_mode=visited_mode, device_out=True,
+                              seeds=seeds))
         t0 = time.perf_counter()
         out = self.search(q, k, L, query_batch=qb, expand=expand,
-                          visited_mode=visited_mode, device_out=True)
+                          visited_mode=visited_mode, device_out=True,
+                          seeds=seeds)
         fence(out)
         dt = time.perf_counter() - t0
         ids, dists, cmps, hops = (np.asarray(o) for o in out)

@@ -97,3 +97,14 @@ def test_search_batched_padding(small_world):
         k=10, L=64, metric="ip", query_batch=50)  # 64 queries → uneven
     assert ids.shape == (64, 10)
     assert _recall(ids, gt) > 0.8
+
+
+def test_beam_search_per_query_seeds(small_world):
+    base, queries, graph, gt = small_world
+    # seed each query with its own GT neighbors: recall must be ~perfect
+    # and hops can't be fewer than the pool demands
+    seed_ids = jnp.array(np.asarray(gt)[:, :8].astype(np.int32))
+    r = beam_search(jnp.array(base), jnp.array(graph), jnp.array([0]),
+                    jnp.array(queries), k=10, L=64, metric=Metric.IP,
+                    seed_ids=seed_ids, visited_mode="merge")
+    assert _recall(np.asarray(r.ids), gt) > 0.95
