@@ -210,7 +210,8 @@ class BipartiteSearcher:
                        replace=False).astype(np.int32))
 
     def search(self, queries: np.ndarray, k: int, L: int,
-               query_batch: int = 512) -> Tuple[np.ndarray, ...]:
+               query_batch: int = 512,
+               two_hop_chunk: int = 0) -> Tuple[np.ndarray, ...]:
         import jax
 
         if not isinstance(queries, jax.Array):
@@ -221,12 +222,20 @@ class BipartiteSearcher:
         pad = (-nq) % qb
         if pad:
             q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
+        M = int(self.neighbors.shape[1])
+        if two_hop_chunk == 0:
+            # bound the hop-2 working set ([qb, c*M, d] vector gather) to
+            # ~128 MB; the full fan-out is [qb, M², d] — ~1.3 GB per 1k
+            # queries at the reference's M_pjbp=35, d=512
+            budget = (1 << 25) // max(1, qb * d)  # rows of the fan-out
+            two_hop_chunk = max(1, min(M, budget // max(1, M)))
         outs = []
         for s in range(0, nq + pad, qb):
             outs.append(beam_search(
                 self.base, self.neighbors, self.eps,
                 jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
-                metric=self.metric, two_hop=True))
+                metric=self.metric, two_hop=True,
+                two_hop_chunk=two_hop_chunk))
         out_i = np.concatenate([np.asarray(r.ids) for r in outs])[:nq]
         out_d = np.concatenate([np.asarray(r.dists) for r in outs])[:nq]
         out_c = np.concatenate([np.asarray(r.cmps) for r in outs])[:nq]

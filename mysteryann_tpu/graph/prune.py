@@ -44,22 +44,33 @@ from mysteryann_tpu.ops.gather import gather_rows_any
 _INF = jnp.float32(jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("cap", "metric", "fill", "two_pass"))
+@partial(jax.jit,
+         static_argnames=("cap", "metric", "fill", "two_pass", "gather_fn",
+                          "n_base"))
 def batched_occlusion_prune(
     src_vecs: jax.Array,     # f32 [B, d] — the node whose list is being built
     src_ids: jax.Array,      # i32 [B] — its id (excluded from candidates)
     cand_ids: jax.Array,     # i32 [B, C] — sentinel >= N marks empty slots
     cand_dists: jax.Array,   # f32 [B, C] — distance(candidate, src)
-    base: jax.Array,         # f32 [N, d]
+    base: jax.Array | None,  # f32 [N, d]; None with gather_fn + n_base
     cap: int,
     metric: Metric = Metric.IP,
     fill: bool = True,
     not_seedable: jax.Array | None = None,  # bool [B, C]
     two_pass: bool = False,
+    gather_fn=None,          # flat ids [K] -> vecs [K, d]; default = base
+    n_base: int = 0,         # N when base is None (sharded callers)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Return (pruned_ids i32 [B, cap] sentinel-padded, counts i32 [B])."""
+    """Return (pruned_ids i32 [B, cap] sentinel-padded, counts i32 [B]).
+
+    ``gather_fn`` decouples the scan from vector storage so sharded
+    callers (parallel.sharded_build — base row-sharded over ``mp``,
+    vectors fetched by owner-masked psum) run the IDENTICAL keep-scan:
+    exact single-device/sharded agreement holds by construction.
+    """
     metric = Metric.parse(metric)
-    n = base.shape[0]
+    n = base.shape[0] if base is not None else n_base
+    assert n > 0, "need base or n_base"
     B, C = cand_ids.shape
 
     valid = (cand_ids < n) & (cand_ids != src_ids[:, None]) & (cand_ids >= 0)
@@ -77,9 +88,12 @@ def batched_occlusion_prune(
     valid_s = valid_s & ~dup
 
     # candidate-pairwise distances [B, C, C] — one batched MXU contraction
-    vecs = gather_rows_any(
-        base, jnp.minimum(id_s, n - 1).reshape(-1)).reshape(
-        B, C, base.shape[1])                                      # [B, C, d]
+    flat_ids = jnp.minimum(id_s, n - 1).reshape(-1)
+    if gather_fn is None:
+        vecs = gather_rows_any(base, flat_ids)
+    else:
+        vecs = gather_fn(flat_ids)
+    vecs = vecs.reshape(B, C, vecs.shape[-1])                     # [B, C, d]
     ip = jnp.einsum("bcd,bed->bce", vecs, vecs,
                     preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):
@@ -155,15 +169,18 @@ def batched_occlusion_prune(
     return out_ids, counts
 
 
-@partial(jax.jit, static_argnames=("metric",))
-def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array, base: jax.Array,
-                 metric: Metric = Metric.IP) -> jax.Array:
+@partial(jax.jit, static_argnames=("metric", "gather_fn", "n_base"))
+def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array,
+                 base: jax.Array | None,
+                 metric: Metric = Metric.IP, gather_fn=None,
+                 n_base: int = 0) -> jax.Array:
     """distance(candidate[b, c], src[b]) for prune inputs; [B, C]."""
     metric = Metric.parse(metric)
-    n = base.shape[0]
-    vecs = gather_rows_any(
-        base, jnp.minimum(cand_ids, n - 1).reshape(-1)).reshape(
-        cand_ids.shape + (base.shape[1],))
+    n = base.shape[0] if base is not None else n_base
+    flat = jnp.minimum(cand_ids, n - 1).reshape(-1)
+    vecs = (gather_rows_any(base, flat) if gather_fn is None
+            else gather_fn(flat)).reshape(
+        cand_ids.shape + (src_vecs.shape[-1],))
     ip = jnp.einsum("bcd,bd->bc", vecs, src_vecs,
                     preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):

@@ -4,3 +4,6 @@ from mysteryann_tpu.parallel.sharded_search import (  # noqa: F401
     distributed_beam_search,
     query_parallel_search,
 )
+from mysteryann_tpu.parallel.sharded_build import (  # noqa: F401
+    sharded_build_roargraph,
+)

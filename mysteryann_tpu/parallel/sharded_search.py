@@ -25,6 +25,7 @@ Two scaling modes, matching SURVEY §2's "TPU-native equivalents" note:
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -61,32 +62,56 @@ def distributed_beam_search(
     metric: Metric = Metric.IP,
     max_hops: int = 0,
     visited_mode: str = "bitmask",
+    collect_expanded: int = 0,
 ) -> SearchResult:
     """``visited_mode``: "bitmask" keeps the exact per-query visited
     bitmask (``[B, N/32]`` HBM per dp shard — fine to ~10M); "merge"
     drops it and dedups re-encountered ids inside the pool merge (the
     single-chip engine's proof of equivalence, search/beam.py docstring,
     carries over unchanged) — the only option at 100M-class N, where a
-    bitmask would cost ~12.5 MB per in-flight query."""
+    bitmask would cost ~12.5 MB per in-flight query; "pool" tests
+    membership against the candidate pool only (see beam.py — the mode
+    the connectivity pass traverses with).
+
+    ``collect_expanded=H`` returns the expansion history
+    (reference full_retset) like `beam_search` — required by the sharded
+    build's phase D."""
     metric = Metric.parse(metric)
-    if visited_mode not in ("bitmask", "merge"):
+    if visited_mode not in ("bitmask", "merge", "pool"):
         raise ValueError(f"unknown visited_mode {visited_mode!r}")
-    use_merge = visited_mode == "merge"
     n, d = base.shape
-    M = neighbors.shape[1]
     B = queries.shape[0]
-    E = eps.shape[0]
     dp, mp = mesh.shape["dp"], mesh.shape["mp"]
     if n % mp or B % dp:
         raise ValueError(f"N ({n}) must divide mp ({mp}); B ({B}) dp ({dp})")
-    shard_n = n // mp
     if max_hops <= 0:
         max_hops = 4 * L + 32
-    n_words = 1 if use_merge else -(-n // 32)
-    is_l2 = metric == Metric.L2
+    fn = _dist_search_fn(mesh, n, n // mp, k, L, metric, max_hops,
+                         visited_mode, collect_expanded)
+    q = jax.device_put(queries, NamedSharding(mesh, P("dp", None)))
+    b = jax.device_put(base, NamedSharding(mesh, P("mp", None)))
+    nb = jax.device_put(neighbors, NamedSharding(mesh, P("mp", None)))
+    ids, dists, cmps, hops, hist_ids, hist_d = fn(
+        q, b, nb, jnp.asarray(eps, jnp.int32))
+    return SearchResult(
+        ids=ids, dists=dists, cmps=cmps, hops=hops,
+        hist_ids=hist_ids if collect_expanded > 0 else None,
+        hist_d=hist_d if collect_expanded > 0 else None)
 
-    def local(q, b_shard, nb_shard):
+
+@functools.lru_cache(maxsize=32)
+def _dist_search_fn(mesh: Mesh, n: int, shard_n: int, k: int, L: int,
+                    metric: Metric, max_hops: int, visited_mode: str,
+                    collect_expanded: int):
+    use_merge = visited_mode == "merge"
+    use_pool = visited_mode == "pool"
+    n_words = -(-n // 32) if visited_mode == "bitmask" else 1
+    is_l2 = metric == Metric.L2
+    H = max(collect_expanded, 1)
+
+    def local(q, b_shard, nb_shard, eps):
         bl = q.shape[0]
+        E = eps.shape[0]
         my = jax.lax.axis_index("mp")
         off = my * shard_n
         b_sq = jnp.sum(b_shard * b_shard, axis=-1)
@@ -125,22 +150,30 @@ def distributed_beam_search(
         cand_d, cand_ids, cand_exp = jax.lax.sort(
             (cand_d, cand_ids, cand_exp), dimension=-1, num_keys=2)
         visited = jnp.zeros((bl, n_words), jnp.uint32)
-        if not use_merge:
+        if visited_mode == "bitmask":
             visited = _scatter_or_bits(
                 visited, ep_ids >> 5,
                 jnp.uint32(1) << (ep_ids & 31).astype(jnp.uint32),
                 ep_ids < n)
+        hist_ids0 = jnp.full((bl, H), n, jnp.int32)
+        hist_d0 = jnp.full((bl, H), _INF)
 
         def cond(st):
-            return jnp.logical_and(jnp.any(~st[2]), st[6] < max_hops)
+            return jnp.logical_and(jnp.any(~st[2]), st[-1] < max_hops)
 
         def body(st):
-            cand_ids, cand_d, cand_exp, visited, cmps, hops, it = st
+            (cand_ids, cand_d, cand_exp, visited, cmps, hops,
+             hist_ids, hist_d, it) = st
             unexp = ~cand_exp
             has = jnp.any(unexp, axis=1)
             sel = jnp.argmax(unexp, axis=1)
             b_i = jnp.arange(bl)
             cur = jnp.where(has, cand_ids[b_i, sel], n)
+            if collect_expanded > 0:
+                cur_d = jnp.where(has, cand_d[b_i, sel], _INF)
+                pos = jnp.where(has, hops, H)  # H = OOB → dropped
+                hist_ids = hist_ids.at[b_i, pos].set(cur, mode="drop")
+                hist_d = hist_d.at[b_i, pos].set(cur_d, mode="drop")
             cand_exp = cand_exp.at[b_i, jnp.where(has, sel, L)].set(
                 True, mode="drop")
 
@@ -150,9 +183,14 @@ def distributed_beam_search(
             if use_merge:
                 fresh = in_b
             else:
-                words = nb_c >> 5
-                bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
-                seen = (visited[jnp.arange(bl)[:, None], words] & bits) != 0
+                if use_pool:
+                    seen = jnp.any(
+                        nbrs[:, :, None] == cand_ids[:, None, :], axis=2)
+                else:
+                    words = nb_c >> 5
+                    bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
+                    seen = (visited[jnp.arange(bl)[:, None], words]
+                            & bits) != 0
                 f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
                 sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1,
                                       num_keys=1)
@@ -162,7 +200,8 @@ def distributed_beam_search(
                 first = jnp.zeros_like(in_b).at[
                     jnp.arange(bl)[:, None], si].set(~dups)
                 fresh = in_b & ~seen & first
-                visited = _scatter_or_bits(visited, words, bits, fresh)
+                if not use_pool:
+                    visited = _scatter_or_bits(visited, words, bits, fresh)
 
             nd = jnp.where(fresh, dist_to_q(nb_c), _INF)
             new_ids = jnp.where(fresh, nbrs, n)
@@ -188,23 +227,20 @@ def distributed_beam_search(
             all_d, all_i, all_e = jax.lax.sort(
                 (all_d, all_i, all_e), dimension=-1, num_keys=2)
             return (all_i[:, :L], all_d[:, :L], all_e[:, :L], visited,
-                    cmps, hops, it + 1)
+                    cmps, hops, hist_ids, hist_d, it + 1)
 
         st = (cand_ids, cand_d, cand_exp, visited,
               jnp.full((bl,), E, jnp.int32), jnp.zeros((bl,), jnp.int32),
-              jnp.int32(0))
-        cand_ids, cand_d, _, _, cmps, hops, _ = jax.lax.while_loop(
-            cond, body, st)
-        return cand_ids[:, :k], cand_d[:, :k], cmps, hops
+              hist_ids0, hist_d0, jnp.int32(0))
+        (cand_ids, cand_d, _, _, cmps, hops,
+         hist_ids, hist_d, _) = jax.lax.while_loop(cond, body, st)
+        return (cand_ids[:, :k], cand_d[:, :k], cmps, hops,
+                hist_ids, hist_d)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P("dp", None), P("mp", None), P("mp", None)),
-        out_specs=(P("dp", None), P("dp", None), P("dp"), P("dp")),
+        in_specs=(P("dp", None), P("mp", None), P("mp", None), P()),
+        out_specs=(P("dp", None), P("dp", None), P("dp"), P("dp"),
+                   P("dp", None), P("dp", None)),
         check_vma=False,
-    )
-    q = jax.device_put(queries, NamedSharding(mesh, P("dp", None)))
-    b = jax.device_put(base, NamedSharding(mesh, P("mp", None)))
-    nb = jax.device_put(neighbors, NamedSharding(mesh, P("mp", None)))
-    ids, dists, cmps, hops = jax.jit(fn)(q, b, nb)
-    return SearchResult(ids=ids, dists=dists, cmps=cmps, hops=hops)
+    ))

@@ -86,7 +86,7 @@ def _scatter_or_bits(visited: jax.Array, words: jax.Array, bits: jax.Array,
 @partial(
     jax.jit,
     static_argnames=("k", "L", "metric", "max_hops", "expand", "two_hop",
-                     "visited_mode", "collect_expanded"),
+                     "visited_mode", "collect_expanded", "two_hop_chunk"),
 )
 def beam_search(
     base: jax.Array,            # f32 [N, d] (metric-preprocessed)
@@ -104,6 +104,7 @@ def beam_search(
     query_vecs_for_graph: jax.Array | None = None,
     seed_ids: jax.Array | None = None,   # int32 [B, S] per-query entries
     seed_d: jax.Array | None = None,     # f32 [B, S] their distances
+    two_hop_chunk: int = 0,  # >0: hop-2 groups processed per inner step
 ) -> SearchResult:
     """Best-first beam search of `queries` over the padded graph.
 
@@ -195,8 +196,6 @@ def beam_search(
     hist_ids0 = jnp.full((B, H), n_total, jnp.int32)
     hist_d0 = jnp.full((B, H), _INF)
 
-    fanout = (M * M) if two_hop else (M * expand)
-
     def cond(state):
         cand_exp = state[2]
         it = state[-1]
@@ -240,91 +239,135 @@ def beam_search(
             hist_d = hist_d.at[b_iota, pos].set(cur_d, mode="drop")
         cand_exp = cand_exp.at[b_iota, sel_set].set(True, mode="drop")
 
+        def process(st5, nbrs):
+            """Score a fan-out slice and merge it into the pool.
+
+            st5 = (cand_ids, cand_d, cand_exp, visited, cmps); `nbrs` is
+            [B, F] global ids (sentinel >= n_total). Pulling this out of
+            the step lets two-hop mode feed hop-2 groups in bounded
+            chunks instead of materializing the full [B, M², d] gather.
+            """
+            cand_ids, cand_d, cand_exp, visited, cmps = st5
+            F = nbrs.shape[1]
+            # -- seen-before check ------------------------------------------
+            in_base = nbrs < n_base   # only base nodes are scored/inserted
+            nb_c = jnp.where(in_base, nbrs, 0)
+            if use_merge:
+                # dedup happens inside the merge sort (see docstring)
+                fresh = in_base
+            else:
+                if use_bitmask:
+                    words = nb_c >> 5
+                    bits = (jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32))
+                    seen = (visited[jax.lax.broadcasted_iota(
+                        jnp.int32, words.shape, 0), words] & bits) != 0
+                else:
+                    # pool membership (see visited_mode docstring)
+                    seen = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :],
+                                   axis=2)
+                # intra-slice duplicates (same id appearing twice in this
+                # slice's fan-out) must be reduced to one representative:
+                # duplicates would corrupt the sum-as-OR trick in
+                # _scatter_or_bits and insert twice into the pool.
+                f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
+                sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1,
+                                      num_keys=1)
+                dup_sorted = jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]],
+                    axis=1)
+                fb_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 0)
+                first_occ = jnp.zeros_like(in_base).at[
+                    fb_iota, si].set(~dup_sorted)
+                fresh = in_base & ~seen & first_occ               # [B, F]
+                if use_bitmask:
+                    visited = _scatter_or_bits(visited, words, bits, fresh)
+
+            # -- distances for fresh neighbors ------------------------------
+            vecs = gather_vecs(nb_c)                              # [B, F, d]
+            nd = _batch_dist(queries, vecs, metric)
+            nd = jnp.where(fresh, nd, _INF)
+            new_ids = jnp.where(fresh, nbrs, n_total)
+            cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+
+            # -- sorted merge into the pool ---------------------------------
+            all_d = jnp.concatenate([cand_d, nd], axis=1)
+            all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
+            all_e = jnp.concatenate(
+                [cand_exp, jnp.ones((B, F), jnp.bool_) & ~fresh], axis=1)
+            if use_merge:
+                # id-grouped dedup: sort by (id, expanded-first, dist),
+                # keep the FIRST copy of every id run (an expanded copy
+                # wins so a node is never re-expanded; otherwise the
+                # best-distance copy), null the rest to padding, then
+                # resort by distance. NOTE a re-scored distance is NOT
+                # always bit-identical to the first encounter (CPU einsum
+                # differs by ulps across fan-out positions), so dedup must
+                # key on id alone, never (id, dist).
+                not_e = jnp.logical_not(all_e)
+                all_i, not_e, all_d = jax.lax.sort(
+                    (all_i, not_e, all_d), dimension=-1, num_keys=3)
+                dup = jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.bool_),
+                     all_i[:, 1:] == all_i[:, :-1]], axis=1)
+                all_d = jnp.where(dup, _INF, all_d)
+                all_i = jnp.where(dup, n_total, all_i)
+                all_e = jnp.where(dup, True, jnp.logical_not(not_e))
+                all_d, all_i, all_e = jax.lax.sort(
+                    (all_d, all_i, all_e), dimension=-1, num_keys=2)
+            else:
+                all_d, all_i, all_e = jax.lax.sort(
+                    (all_d, all_i, all_e), dimension=-1, num_keys=2)
+            return (all_i[:, :L], all_d[:, :L], all_e[:, :L], visited, cmps)
+
         # -- gather neighbor rows (pallas DMA gather) -----------------------
         cur_c = jnp.minimum(cur, n_total - 1)
         e_sel = cur_c.shape[1]
         nbrs = gather_rows_any(neighbors, cur_c.reshape(-1)).reshape(
             B, e_sel, M)                                          # [B, e, M]
         nbrs = jnp.where((cur < n_total)[:, :, None], nbrs, n_total)
-        if two_hop:
-            # expand neighbors-of-neighbors: base→query→base
-            n1 = jnp.minimum(nbrs, n_total - 1)
-            nbrs2 = gather_rows_any(neighbors, n1.reshape(-1)).reshape(
-                B, e_sel * M, M)                                  # [B, e*M, M]
-            nbrs2 = jnp.where(
-                (nbrs < n_total).reshape(B, -1, 1), nbrs2, n_total)
-            nbrs = nbrs2.reshape(B, -1)                           # [B, e*M*M]
-        else:
-            nbrs = nbrs.reshape(B, -1)                            # [B, e*M]
+        st5 = (cand_ids, cand_d, cand_exp, visited, cmps)
+        if two_hop and two_hop_chunk and two_hop_chunk < M:
+            # hop-2 in bounded chunks: [B, c, M] gathers instead of one
+            # [B, M, M] (and [B, c*M, d] vector fetches instead of
+            # [B, M², d] — at the reference's M_pjbp=35/d=512 the full
+            # fan-out is ~1.3 GB per 1k queries). Incremental merges keep
+            # top-L exactly (the pool merge is associative in the kept
+            # set; earlier chunks' insertions are visible to later
+            # chunks' dedup, matching single-shot first-occurrence
+            # semantics).
+            c = two_hop_chunk
+            n_chunks = -(-M // c)
+            nbrs1 = nbrs.reshape(B, M)  # two_hop forces e_sel == 1
+            if n_chunks * c != M:
+                nbrs1 = jnp.concatenate(
+                    [nbrs1, jnp.full((B, n_chunks * c - M), n_total,
+                                     jnp.int32)], axis=1)
 
-        # -- seen-before check ----------------------------------------------
-        in_base = nbrs < n_base   # only base nodes are scored/inserted
-        nb_c = jnp.where(in_base, nbrs, 0)
-        if use_merge:
-            # dedup happens inside the merge sort (see docstring)
-            fresh = in_base
+            def chunk_step(i, st5):
+                sl = jax.lax.dynamic_slice_in_dim(nbrs1, i * c, c, axis=1)
+                n1 = jnp.minimum(sl, n_total - 1)
+                nb2 = gather_rows_any(neighbors, n1.reshape(-1)).reshape(
+                    B, c, M)
+                nb2 = jnp.where((sl < n_total)[:, :, None], nb2, n_total)
+                return process(st5, nb2.reshape(B, c * M))
+
+            st5 = jax.lax.fori_loop(0, n_chunks, chunk_step, st5)
         else:
-            if use_bitmask:
-                words = nb_c >> 5
-                bits = (jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32))
-                seen = (visited[jax.lax.broadcasted_iota(
-                    jnp.int32, words.shape, 0), words] & bits) != 0
+            if two_hop:
+                # expand neighbors-of-neighbors: base→query→base
+                n1 = jnp.minimum(nbrs, n_total - 1)
+                nbrs2 = gather_rows_any(neighbors, n1.reshape(-1)).reshape(
+                    B, e_sel * M, M)                              # [B,e*M,M]
+                nbrs2 = jnp.where(
+                    (nbrs < n_total).reshape(B, -1, 1), nbrs2, n_total)
+                nbrs = nbrs2.reshape(B, -1)                       # [B,e*M*M]
             else:
-                # pool membership (see visited_mode docstring)
-                seen = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :],
-                               axis=2)
-            # intra-step duplicates (same id appearing twice in this
-            # step's fan-out) must be reduced to one representative:
-            # duplicates would corrupt the sum-as-OR trick in
-            # _scatter_or_bits and insert twice into the pool.
-            f_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 1)
-            sv, si = jax.lax.sort((nbrs, f_iota), dimension=-1, num_keys=1)
-            dup_sorted = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.bool_), sv[:, 1:] == sv[:, :-1]],
-                axis=1)
-            fb_iota = jax.lax.broadcasted_iota(jnp.int32, nbrs.shape, 0)
-            first_occ = jnp.zeros_like(in_base).at[
-                fb_iota, si].set(~dup_sorted)
-            fresh = in_base & ~seen & first_occ                   # [B, F]
-            if use_bitmask:
-                visited = _scatter_or_bits(visited, words, bits, fresh)
+                nbrs = nbrs.reshape(B, -1)                        # [B, e*M]
+            st5 = process(st5, nbrs)
 
-        # -- distances for fresh neighbors ---------------------------------
-        vecs = gather_vecs(nb_c)                                  # [B, F, d]
-        nd = _batch_dist(queries, vecs, metric)
-        nd = jnp.where(fresh, nd, _INF)
-        new_ids = jnp.where(fresh, nbrs, n_total)
-        cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+        cand_ids, cand_d, cand_exp, visited, cmps = st5
         hops = hops + jnp.sum(sel_valid, axis=1, dtype=jnp.int32)
-
-        # -- sorted merge into the pool ------------------------------------
-        all_d = jnp.concatenate([cand_d, nd], axis=1)
-        all_i = jnp.concatenate([cand_ids, new_ids], axis=1)
-        all_e = jnp.concatenate(
-            [cand_exp, jnp.ones((B, fanout), jnp.bool_) & ~fresh], axis=1)
-        if use_merge:
-            # id-grouped dedup: sort by (id, expanded-first, dist), keep
-            # the FIRST copy of every id run (an expanded copy wins so a
-            # node is never re-expanded; otherwise the best-distance
-            # copy), null the rest to padding, then resort by distance.
-            # NOTE a re-scored distance is NOT always bit-identical to the
-            # first encounter (CPU einsum differs by ulps across fan-out
-            # positions), so dedup must key on id alone, never (id, dist).
-            not_e = jnp.logical_not(all_e)
-            all_i, not_e, all_d = jax.lax.sort(
-                (all_i, not_e, all_d), dimension=-1, num_keys=3)
-            dup = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.bool_),
-                 all_i[:, 1:] == all_i[:, :-1]], axis=1)
-            all_d = jnp.where(dup, _INF, all_d)
-            all_i = jnp.where(dup, n_total, all_i)
-            all_e = jnp.where(dup, True, jnp.logical_not(not_e))
-            all_d, all_i, all_e = jax.lax.sort(
-                (all_d, all_i, all_e), dimension=-1, num_keys=2)
-        else:
-            all_d, all_i, all_e = jax.lax.sort(
-                (all_d, all_i, all_e), dimension=-1, num_keys=2)
-        return (all_i[:, :L], all_d[:, :L], all_e[:, :L],
+        return (cand_ids, cand_d, cand_exp,
                 visited, cmps, hops, hist_ids, hist_d, it + 1)
 
     state = (cand_ids, cand_d, cand_exp, visited, cmps0, hops0,
