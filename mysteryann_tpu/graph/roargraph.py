@@ -249,6 +249,13 @@ class _BuildCheckpoint:
         np.save(tmp, arr)
         os.replace(tmp, self._path(phase))
 
+    def clean_prefix(self, prefix: str) -> None:
+        if not self.dir:
+            return
+        for f in os.listdir(self.dir):
+            if f.startswith(f"build_{prefix}") and f.endswith(".npy"):
+                os.remove(os.path.join(self.dir, f))
+
 
 def compute_medoid(base: jax.Array) -> int:
     """argmin_i ||base_i - centroid||² (reference CalculateProjectionep)."""
@@ -501,8 +508,9 @@ def build_roargraph(
             supply = ckpt.load(tag)
             if supply is None:
                 supply = _connectivity_pass(base_dev, final, ep, cfg,
-                                            metric, log)
+                                            metric, log, ckpt=ckpt, tag=tag)
                 ckpt.save(tag, supply)
+                ckpt.clean_prefix(f"{tag}_r")  # round files superseded
             # merge novel supply edges into projection (reference
             # :1251-1269); later passes (beyond-reference) search the
             # completed graph and stay under the same 2M degree bound
@@ -662,7 +670,42 @@ def _compact_truncate_device(rows: jax.Array, cap: int, n: int) -> jax.Array:
     return jnp.where(k_s[:, :cap] < W, v_s[:, :cap], jnp.int32(n))
 
 
-def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
+def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
+                       prune_batch, proj_dev):
+    """Fold one round's pruned chunk lists into the live supply graph.
+
+    Reverse edges: the reference appends while a destination is under 2M
+    and occlusion-prunes back to M on overflow (SupplyAddReverse →
+    PruneProjectionInternalReverseCandidates) — arrival-order insertion
+    with prune-then-refill windows; a closest-first cap or a prune-only
+    fold strands tail nodes with zero in-degree (measured 13-17k
+    unreachable on a 100k corpus). Deterministic given (supply, chunk),
+    which is what makes round-checkpoint replay sound."""
+    supply_dev, rev_dev, fit = _fold_round_device(
+        supply_dev, chunk_lists, jnp.int32(r0))
+    over = np.nonzero(~np.asarray(fit))[0]
+    if over.size:
+        K = max(1024, 1 << (int(over.size) - 1).bit_length())
+        over_ids = np.zeros(K, np.int32)
+        over_ids[: over.size] = over
+        ids_dev = jnp.asarray(over_ids)
+        own_rows = gather_rows_any(supply_dev, ids_dev)
+        rev_rows = gather_rows_any(rev_dev, ids_dev)
+        cand = jnp.concatenate([own_rows, rev_rows], axis=1)
+        pruned = _batched_prune_rows(
+            base_dev, ids_dev, cand, M, metric, prune_batch,
+            fill=False, return_device=True)
+        # refill free slots with arrival-order leftovers not kept
+        merged = _refill_rows_device(pruned, cand, n)
+        scat = np.full(K, n, np.int32)
+        scat[: over.size] = over
+        supply_dev = supply_dev.at[jnp.asarray(scat)].set(
+            merged, mode="drop")
+    return supply_dev, rev_dev, fit
+
+
+def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
+                       ckpt=None, tag="phaseD"):
     """Phase D: per-node search + prune + reverse supply edges.
 
     The reference runs this incrementally — every node's search sees the
@@ -734,8 +777,22 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
     table = rev_dev = None
     H = cfg.history_mult * L  # history ≈ reference full_retset size
     r0 = 0
-    for chunk in chunks:
+    for round_i, chunk in enumerate(chunks):
         r1 = min(r0 + chunk, n)
+        # round-level resume: a transient device fault mid-phase (observed
+        # through the axon tunnel) must not discard hours of search. Each
+        # round's pruned chunk lists are checkpointed (~chunk*M*4 bytes);
+        # resume replays the deterministic fold of saved rounds instead of
+        # re-searching them.
+        saved = ckpt.load(f"{tag}_r{round_i}") if ckpt is not None else None
+        if saved is not None:
+            chunk_dev = jnp.asarray(saved)
+            supply_dev, rev_dev, fit = _fold_and_overflow(
+                base_dev, supply_dev, chunk_dev, r0, n, M, metric,
+                prune_batch, proj_dev)
+            log(f"\rreplayed connectivity round {min(r1, n)}/{n}", end="")
+            r0 = r1
+            continue
         if engine == "fused":
             _t0 = _time.perf_counter()
             del rev_dev  # free the fold scratch before the repack
@@ -798,34 +855,12 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log):
             chunk_dev = chunk_dev.at[slot].set(pruned)
             chunk_dev.block_until_ready()
             t_prune += _time.perf_counter() - _t0
+        if ckpt is not None:
+            ckpt.save(f"{tag}_r{round_i}", np.asarray(chunk_dev[:chunk]))
         _t0 = _time.perf_counter()
-        # fold this chunk into the live supply graph, on device.
-        # Reverse edges: the reference appends while a destination is
-        # under 2M and occlusion-prunes back to M on overflow
-        # (SupplyAddReverse → PruneProjectionInternalReverseCandidates) —
-        # arrival-order insertion with prune-then-refill windows; a
-        # closest-first cap or a prune-only fold strands tail nodes with
-        # zero in-degree (measured 13-17k unreachable on a 100k corpus).
-        supply_dev, rev_dev, fit = _fold_round_device(
-            supply_dev, chunk_dev[:chunk], jnp.int32(r0))
-        over = np.nonzero(~np.asarray(fit))[0]
-        if over.size:
-            K = max(1024, 1 << (int(over.size) - 1).bit_length())
-            over_ids = np.zeros(K, np.int32)
-            over_ids[: over.size] = over
-            ids_dev = jnp.asarray(over_ids)
-            own_rows = gather_rows_any(supply_dev, ids_dev)
-            rev_rows = gather_rows_any(rev_dev, ids_dev)
-            cand = jnp.concatenate([own_rows, rev_rows], axis=1)
-            pruned = _batched_prune_rows(
-                base_dev, ids_dev, cand, M, metric, prune_batch,
-                fill=False, return_device=True)
-            # refill free slots with arrival-order leftovers not kept
-            merged = _refill_rows_device(pruned, cand, n)
-            scat = np.full(K, n, np.int32)
-            scat[: over.size] = over
-            supply_dev = supply_dev.at[jnp.asarray(scat)].set(
-                merged, mode="drop")
+        supply_dev, rev_dev, fit = _fold_and_overflow(
+            base_dev, supply_dev, chunk_dev[:chunk], r0, n, M, metric,
+            prune_batch, proj_dev)
         supply_dev.block_until_ready()
         t_fold += _time.perf_counter() - _t0
         log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
