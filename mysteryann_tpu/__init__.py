@@ -22,6 +22,22 @@ traversal, this framework is dense / batched / fixed-shape:
 
 __version__ = "0.1.0"
 
+# Honor JAX_PLATFORMS even on hosts whose sitecustomize force-registers a
+# device plugin that overrides the env var (observed on the axon rig:
+# JAX_PLATFORMS=cpu in the env still initialized the tunneled TPU). An
+# in-process config update issued before first backend touch wins; after
+# a backend exists this is a no-op for that backend, never an error.
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover — never block import on this
+        pass
+del _os
+
 from mysteryann_tpu.utils.params import BuildConfig, SearchConfig, Parameters  # noqa: F401
 from mysteryann_tpu.ops.distances import Metric  # noqa: F401
 from mysteryann_tpu.index import index_kinds, get_index_cls, register_index  # noqa: F401

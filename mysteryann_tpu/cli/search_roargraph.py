@@ -25,6 +25,19 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     add_common_search_flags(p)
     p.add_argument("--projection_index_save_path", required=True)
+    p.add_argument("--engine", default="classic",
+                   choices=("classic", "fused"),
+                   help="fused = int8 inline neighbor blocks, one DMA "
+                        "per expansion (index must fit the packed table)")
+    p.add_argument("--seeds", type=int, default=0,
+                   help="per-query entry points from a coarse sample scan "
+                        "(replaces the medoid walk; see search/seeding.py)")
+    p.add_argument("--seed_sample", type=int, default=0,
+                   help="1-in-r strided base sample rate for --seeds "
+                        "(default 8 when --seeds is set)")
+    p.add_argument("--expand", type=int, default=1,
+                   help="closest-unexpanded entries popped per lockstep "
+                        "step (amortizes pool maintenance)")
     args = p.parse_args(argv)
 
     base = load_vectors(args.base_data_path)
@@ -33,7 +46,12 @@ def main(argv=None) -> int:
     index = RoarGraphIndex.load(args.projection_index_save_path,
                                 metric=args.dist or None,
                                 dim=base.shape[1])
-    searcher = Searcher(index, base)
+    ss = args.seed_sample or (8 if args.seeds else 0)
+    if args.engine == "fused":
+        from mysteryann_tpu.search.fused import FusedSearcher
+        searcher = FusedSearcher(index, base, seed_sample=ss)
+    else:
+        searcher = Searcher(index, base, seed_sample=ss)
     print(f"base {base.shape}, queries {queries.shape}, "
           f"graph degree avg {index.graph.degree_stats()['avg']:.1f}, "
           f"metric {index.metric.value}")
@@ -43,7 +61,8 @@ def main(argv=None) -> int:
         if L < args.k:
             continue
         r = searcher.benchmark(queries, k=args.k, L=L,
-                               query_batch=args.query_batch)
+                               query_batch=args.query_batch,
+                               seeds=args.seeds, expand=args.expand)
         r["recall"] = compute_recall(r["ids"], gt_ids, args.k)
         r["rderr"] = compute_rderr(r["dists"], gt_dists, args.k, index.metric)
         print(result_row(r))
