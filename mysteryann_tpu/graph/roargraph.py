@@ -439,8 +439,14 @@ def build_roargraph(
         probe = a[:: max(1, a.shape[0] // 64)][:64]
         return f"{float(np.sum(probe)):.6e}/{float(np.sum(np.abs(a[0]))):.6e}"
 
+    # connectivity_passes is fingerprint-NEUTRAL: pass p's checkpoint
+    # (phaseD, phaseD2, …) is identical whatever the total pass count,
+    # so a finished 1-pass build extends to 2 passes incrementally
+    # instead of rebuilding from scratch
+    cfg_fp = dataclasses.asdict(cfg)
+    cfg_fp.pop("connectivity_passes", None)
     ckpt = _BuildCheckpoint(checkpoint_dir, fingerprint={
-        "cfg": dataclasses.asdict(cfg), "n": int(n), "nq": int(nq),
+        "cfg": cfg_fp, "n": int(n), "nq": int(nq),
         "dim": int(base.shape[1]),
         "base": _digest(base), "queries": _digest(train_queries),
         "knn": _digest(learn_base_knn)})

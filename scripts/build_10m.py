@@ -137,9 +137,11 @@ def main():
                           connectivity_passes=args.passes,
                           connectivity_engine=args.engine)
         t0 = time.time()
+        # shared checkpoint dir: connectivity_passes is fingerprint-neutral,
+        # so a later --passes 2 run resumes from the 1-pass phaseD
         index = build_roargraph(
             base, train_q, knn, cfg, verbose=True,
-            checkpoint_dir=os.path.join(CACHE, f"{gkey}_p{args.passes}_ck"))
+            checkpoint_dir=os.path.join(CACHE, f"{gkey}_ck"))
         build_secs = time.time() - t0
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)

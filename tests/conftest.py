@@ -6,7 +6,8 @@ conftest is imported before any test module.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, not setdefault: the rig's outer env pins JAX_PLATFORMS=axon
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
