@@ -166,9 +166,10 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
     explore further. The reference always pops the full L-queue
     (src/index_bipartite.cpp:2356-2405); this knob is a beyond-reference
     throughput trade whose recall cost is measured, not assumed."""
-    if visited_mode not in ("merge", "bitmask"):
+    if visited_mode not in ("merge", "bitmask", "pool"):
         raise ValueError(f"unknown visited_mode {visited_mode!r}")
     use_bitmask = visited_mode == "bitmask"
+    use_pool = visited_mode == "pool"
     B = q.shape[0]
     n_total = n_base + 2  # sentinel node row at n_base; invalid id n_base+1
 
@@ -288,21 +289,31 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                             preferred_element_type=jnp.float32) * sc * sc
             nd = q_sq - 2.0 * ip + vn
 
-        if use_bitmask:
-            # reference VisitedListPool semantics: an id is scored once.
-            # Intra-step duplicates (same id twice in one neighbor row)
-            # reduce to the first occurrence — O(M²) VPU, M ~64.
+        if use_bitmask or use_pool:
+            # "bitmask": reference VisitedListPool semantics — an id is
+            # scored once, ever. "pool": membership test against the
+            # live candidate pool only (sound — a dropped candidate can
+            # never re-enter; see beam.py) — no visited state, and the
+            # pool update runs through the bitonic merge cascade instead
+            # of two full [B, L+F] sorts (the merge-mode cost at high L).
+            # Intra-step duplicates (same id twice in one fan-out)
+            # reduce to the first occurrence — O(F²) VPU.
             in_b = nbrs < n_base
             nb_c = jnp.where(in_b, nbrs, 0)
-            words = nb_c >> 5
-            bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
-            seen = (visited[jnp.arange(B)[:, None], words] & bits) != 0
+            if use_pool:
+                seen = jnp.any(nbrs[:, :, None] == cand_ids[:, None, :],
+                               axis=2)
+            else:
+                words = nb_c >> 5
+                bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
+                seen = (visited[jnp.arange(B)[:, None], words] & bits) != 0
             earlier = (nbrs[:, :, None] == nbrs[:, None, :]) & (
                 jax.lax.broadcasted_iota(jnp.int32, (1, F, F), 2)
                 < jax.lax.broadcasted_iota(jnp.int32, (1, F, F), 1))
             first_occ = ~jnp.any(earlier, axis=2)
             fresh = in_b & ~seen & first_occ
-            visited = _scatter_or_bits(visited, words, bits, fresh)
+            if use_bitmask:
+                visited = _scatter_or_bits(visited, words, bits, fresh)
             nd = jnp.where(fresh, nd, _INF)
             new_ids = jnp.where(fresh, nbrs, n_total)
             cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)

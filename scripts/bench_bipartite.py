@@ -1,0 +1,84 @@
+"""Bipartite-variant benchmark at 1M — the reference's NeurIPS-track pair.
+
+Builds the bipartite index (BuildBipartite/qbaseNNbipartite, reference
+src/index_bipartite.cpp:42-141, 235-280) on the 1M bench corpus and
+sweeps the two-hop search (SearchBipartiteGraph, :282-356) with the
+chunked hop-2 expansion. Rows feed BASELINE.md's bipartite section.
+
+Run: `python scripts/bench_bipartite.py`. Emits one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".bench_cache")
+K = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from mysteryann_tpu.graph.bipartite import (BipartiteSearcher,
+                                                build_bipartite)
+    from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
+    from mysteryann_tpu.utils.fence import fence
+    from mysteryann_tpu.utils.params import BuildConfig
+
+    key = "t2i1m_v2_1000000_200000_128"
+
+    def loadz(name):
+        with np.load(os.path.join(CACHE, name + ".npz")) as z:
+            return [z[k] for k in z.files]
+
+    base, train_q = loadz(key + "_data")
+    (eval_q,) = loadz(key + "_eval32768")
+    gt_i, gt_d = loadz(key + "_gt32768")
+    gt_i = gt_i.astype(np.int64)
+    (knn,) = loadz(key + "_knn")
+
+    log("== build bipartite (M_pjbp=32) ==")
+    t0 = time.time()
+    index = build_bipartite(base, train_q, np.asarray(knn, np.int32),
+                            BuildConfig(M_sq=64, M_pjbp=32, metric="ip"),
+                            base_row_cap=64)
+    build_secs = time.time() - t0
+    log(f"build {build_secs:.1f}s")
+
+    s = BipartiteSearcher(index, base)
+    rows = []
+    for L in (50, 100, 200, 400):
+        qb = 4096
+        # warm
+        fence(s.search(eval_q[:qb], k=K, L=L, query_batch=qb)[0])
+        t0 = time.time()
+        ids, dists, cmps, hops = s.search(eval_q, k=K, L=L, query_batch=qb)
+        dt = time.time() - t0
+        rows.append({
+            "mode": f"bipartite_two_hop_L{L}",
+            "qps": round(eval_q.shape[0] / dt, 1),
+            "recall": round(compute_recall(ids, gt_i, K), 4),
+            "rderr": round(compute_rderr(dists, gt_d, K, "ip"), 6),
+            "avg_hops": round(float(hops.mean()), 1),
+            "avg_cmps": round(float(cmps.mean()), 1),
+        })
+        log(rows[-1])
+    print(json.dumps({"scale": base.shape[0], "build_secs": round(build_secs, 1),
+                      "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,3 +84,17 @@ def test_fused_dists_are_exact(built):
     bn = base / np.linalg.norm(base, axis=1, keepdims=True)
     want = -(qn[:, None, :] * bn[ids]).sum(-1)
     np.testing.assert_allclose(dists, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_pool_mode_matches_merge(built):
+    base, eval_q, index, gt = built
+    fused = FusedSearcher(index, base, seed_sample=8)
+    a = fused.search(eval_q, k=10, L=96, query_batch=300, seeds=16,
+                     visited_mode="merge")
+    b = fused.search(eval_q, k=10, L=96, query_batch=300, seeds=16,
+                     visited_mode="pool")
+    ra = compute_recall(a[0], gt, 10)
+    rb = compute_recall(b[0], gt, 10)
+    # pool membership vs merge dedup: same soundness argument (beam.py);
+    # results may differ by ulp-level traversal ties only
+    assert abs(ra - rb) < 0.01, (ra, rb)
