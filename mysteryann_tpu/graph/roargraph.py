@@ -439,12 +439,15 @@ def build_roargraph(
         probe = a[:: max(1, a.shape[0] // 64)][:64]
         return f"{float(np.sum(probe)):.6e}/{float(np.sum(np.abs(a[0]))):.6e}"
 
-    # connectivity_passes is fingerprint-NEUTRAL: pass p's checkpoint
-    # (phaseD, phaseD2, …) is identical whatever the total pass count,
-    # so a finished 1-pass build extends to 2 passes incrementally
-    # instead of rebuilding from scratch
+    # fingerprint-NEUTRAL knobs: connectivity_passes (pass p's checkpoint
+    # is identical whatever the total pass count, so a 1-pass build
+    # extends to 2 passes incrementally) and the batching sizes
+    # (query_batch / search_batch change how work is chunked, never the
+    # per-row results — clamped tail windows re-search rows to identical
+    # values, and prune batches are padded, not merged)
     cfg_fp = dataclasses.asdict(cfg)
-    cfg_fp.pop("connectivity_passes", None)
+    for neutral in ("connectivity_passes", "query_batch", "search_batch"):
+        cfg_fp.pop(neutral, None)
     ckpt = _BuildCheckpoint(checkpoint_dir, fingerprint={
         "cfg": cfg_fp, "n": int(n), "nq": int(nq),
         "dim": int(base.shape[1]),
@@ -677,7 +680,7 @@ def _compact_truncate_device(rows: jax.Array, cap: int, n: int) -> jax.Array:
 
 
 def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
-                       prune_batch, proj_dev):
+                       prune_batch):
     """Fold one round's pruned chunk lists into the live supply graph.
 
     Reverse edges: the reference appends while a destination is under 2M
@@ -779,7 +782,24 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
                          f"(got d={d}); pad the vectors or use 'classic'")
     log(f"phase D engine: {engine}")
 
-    proj_dev = jnp.asarray(projection)
+    # projection rows feed only the per-batch not-seedable mask; above
+    # ~4M nodes keep them on the HOST and upload [sb, M] slices (~0.5 MB)
+    # per batch instead of holding an N*M int32 tensor (1.28 GB at 10M)
+    # next to base+supply — the margin between fitting and
+    # RESOURCE_EXHAUSTED on a 16 GB chip
+    proj_on_host = n >= 4_000_000
+    proj_dev = None if proj_on_host else jnp.asarray(projection)
+
+    def proj_slice(sl):
+        if proj_on_host:
+            return jnp.asarray(projection[sl: sl + sb])
+        return jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
+
+    def proj_take(ids: np.ndarray):
+        if proj_on_host:
+            return jnp.asarray(projection[np.minimum(ids, n - 1)])
+        return gather_rows_any(proj_dev, jnp.asarray(ids))
+
     table = rev_dev = None
     H = cfg.history_mult * L  # history ≈ reference full_retset size
     r0 = 0
@@ -795,7 +815,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             chunk_dev = jnp.asarray(saved)
             supply_dev, rev_dev, fit = _fold_and_overflow(
                 base_dev, supply_dev, chunk_dev, r0, n, M, metric,
-                prune_batch, proj_dev)
+                prune_batch)
             log(f"\rreplayed connectivity round {min(r1, n)}/{n}", end="")
             r0 = r1
             continue
@@ -845,7 +865,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             # long-range edges the occlusion rule keeps for navigability
             node_ids = jnp.arange(sl, sl + sb, dtype=jnp.int32)
             # seed must not be an existing projection neighbor (:1861-1864)
-            proj_rows = jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
+            proj_rows = proj_slice(sl)
             ns = (pool[:, :, None] == proj_rows[:, None, :]).any(
                 axis=2) & (pool < n)
             # two_pass=False diverges DELIBERATELY from the reference's
@@ -866,7 +886,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         _t0 = _time.perf_counter()
         supply_dev, rev_dev, fit = _fold_and_overflow(
             base_dev, supply_dev, chunk_dev[:chunk], r0, n, M, metric,
-            prune_batch, proj_dev)
+            prune_batch)
         supply_dev.block_until_ready()
         t_fold += _time.perf_counter() - _t0
         log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
@@ -890,7 +910,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         # same prune variant as the in-round pass (reference reuses
         # PruneProjectionBaseSearchCandidates at :1240): projection
         # members can't seed (two_pass off — see the in-round note)
-        proj_rows = gather_rows_any(proj_dev, ids_dev)
+        proj_rows = proj_take(over_ids)
         ns = (cand[:, :, None] == proj_rows[:, None, :]).any(
             axis=2) & (cand < n)
         pruned = _batched_prune_rows(

@@ -68,6 +68,7 @@ def main():
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--engine", default="auto",
                     choices=("auto", "fused", "classic"))
+    ap.add_argument("--search_batch", type=int, default=8192)
     ap.add_argument("--skip_serve", action="store_true")
     args = ap.parse_args()
 
@@ -133,7 +134,8 @@ def main():
     else:
         log("== build ==")
         cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
-                          metric="ip", query_batch=8192, search_batch=8192,
+                          metric="ip", query_batch=8192,
+                          search_batch=args.search_batch,
                           connectivity_passes=args.passes,
                           connectivity_engine=args.engine)
         t0 = time.time()
