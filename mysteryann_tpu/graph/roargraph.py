@@ -612,8 +612,15 @@ def _fold_round_device(supply: jax.Array, chunk_lists: jax.Array,
 
     # fit rows: append rev into free slots, dropping entries already in
     # own (host _concat_budgeted), blocked so the [bs, W, W] dedup
-    # broadcast stays bounded
+    # broadcast stays bounded. Prefer a block size that DIVIDES n: with
+    # n_pad == n the merged output shape matches the donated supply
+    # buffer, letting XLA alias them — a fresh N*W alloc here (2.56 GB
+    # at 10M) was part of the fold's RESOURCE_EXHAUSTED peak
     bs = min(8192, n)
+    for cand_bs in range(min(8192, n), 255, -1):
+        if n % cand_bs == 0:
+            bs = cand_bs
+            break
 
     def blk(args):
         own_b, rev_b, fit_b = args
@@ -689,7 +696,12 @@ def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
     with prune-then-refill windows; a closest-first cap or a prune-only
     fold strands tail nodes with zero in-degree (measured 13-17k
     unreachable on a 100k corpus). Deterministic given (supply, chunk),
-    which is what makes round-checkpoint replay sound."""
+    which is what makes round-checkpoint replay sound.
+
+    The N*W reverse scratch lives only inside this call — at 10M it is
+    2.56 GB, and keeping it referenced across the next round's search
+    (as the caller previously did) tipped a 16 GB chip into
+    RESOURCE_EXHAUSTED next to base + supply."""
     supply_dev, rev_dev, fit = _fold_round_device(
         supply_dev, chunk_lists, jnp.int32(r0))
     over = np.nonzero(~np.asarray(fit))[0]
@@ -700,6 +712,7 @@ def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
         ids_dev = jnp.asarray(over_ids)
         own_rows = gather_rows_any(supply_dev, ids_dev)
         rev_rows = gather_rows_any(rev_dev, ids_dev)
+        del rev_dev
         cand = jnp.concatenate([own_rows, rev_rows], axis=1)
         pruned = _batched_prune_rows(
             base_dev, ids_dev, cand, M, metric, prune_batch,
@@ -710,7 +723,9 @@ def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
         scat[: over.size] = over
         supply_dev = supply_dev.at[jnp.asarray(scat)].set(
             merged, mode="drop")
-    return supply_dev, rev_dev, fit
+    else:
+        del rev_dev
+    return supply_dev, fit
 
 
 def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
@@ -800,7 +815,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             return jnp.asarray(projection[np.minimum(ids, n - 1)])
         return gather_rows_any(proj_dev, jnp.asarray(ids))
 
-    table = rev_dev = None
+    table = None
     H = cfg.history_mult * L  # history ≈ reference full_retset size
     r0 = 0
     for round_i, chunk in enumerate(chunks):
@@ -813,7 +828,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         saved = ckpt.load(f"{tag}_r{round_i}") if ckpt is not None else None
         if saved is not None:
             chunk_dev = jnp.asarray(saved)
-            supply_dev, rev_dev, fit = _fold_and_overflow(
+            supply_dev, fit = _fold_and_overflow(
                 base_dev, supply_dev, chunk_dev, r0, n, M, metric,
                 prune_batch)
             log(f"\rreplayed connectivity round {min(r1, n)}/{n}", end="")
@@ -821,8 +836,6 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             continue
         if engine == "fused":
             _t0 = _time.perf_counter()
-            del rev_dev  # free the fold scratch before the repack
-            rev_dev = None
             # repack INTO the previous round's table buffer (donated) —
             # a fresh multi-GB contiguous alloc into the fragmented heap
             # OOMs at 1M even though total free HBM suffices
@@ -884,7 +897,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         if ckpt is not None:
             ckpt.save(f"{tag}_r{round_i}", np.asarray(chunk_dev[:chunk]))
         _t0 = _time.perf_counter()
-        supply_dev, rev_dev, fit = _fold_and_overflow(
+        supply_dev, fit = _fold_and_overflow(
             base_dev, supply_dev, chunk_dev[:chunk], r0, n, M, metric,
             prune_batch)
         supply_dev.block_until_ready()
