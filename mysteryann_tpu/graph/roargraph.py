@@ -650,6 +650,112 @@ def _fold_round_device(supply: jax.Array, chunk_lists: jax.Array,
 
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _fold_own_rows(supply: jax.Array, chunk_lists: jax.Array, r0: jax.Array):
+    """Own-row overwrite of one chunk (reference :1213), in place."""
+    n, W = supply.shape
+    c, M = chunk_lists.shape
+    row_ids = r0 + jnp.arange(c, dtype=jnp.int32)
+    ok_row = row_ids < n
+    chunk_lists = jnp.where(ok_row[:, None], chunk_lists, n)
+    own_new = jnp.concatenate(
+        [chunk_lists, jnp.full((c, W - M), n, jnp.int32)], axis=1)
+    return supply.at[jnp.where(ok_row, row_ids, n)].set(
+        own_new, mode="drop")
+
+
+def _round_edges(chunk_lists, r0, n):
+    """Arrival-ordered reverse edge streams for one chunk: (ds, ss, rank),
+    sorted by (destination, arrival). Traced helper shared by the slab
+    fold and the overflow rev-row reconstruction."""
+    c, M = chunk_lists.shape
+    row_ids = r0 + jnp.arange(c, dtype=jnp.int32)
+    ok_row = row_ids < n
+    chunk_lists = jnp.where(ok_row[:, None], chunk_lists, n)
+    src = jnp.repeat(row_ids, M)
+    dst = chunk_lists.reshape(-1)
+    dstk = jnp.where(dst < n, dst, jnp.int32(n))
+    arrival = jnp.arange(c * M, dtype=jnp.int32)
+    ds, _, ss = jax.lax.sort((dstk, arrival, src), dimension=-1, num_keys=2)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), ds[1:] != ds[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, arrival, 0))
+    rank = arrival - seg_start
+    return ds, ss, rank
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("sn",))
+def _fold_slab(supply: jax.Array, chunk_lists: jax.Array, r0: jax.Array,
+               lo: jax.Array, sn: int):
+    """One row-slab of the fold: reverse-aggregate + merge rows
+    [lo, lo+sn), updating the donated supply in place.
+
+    Memory-bounded twin of `_fold_round_device` for corpora where the
+    full-size reverse scratch + merged copy (2 x N x W int32 — 5.1 GB at
+    10M) cannot sit next to base + supply: peak extra memory here is
+    2 x sn x W. Outputs are bit-identical to the single-jit fold
+    (same edges, same ranks, same merge) — pinned by
+    tests/test_roargraph_build.py."""
+    n, W = supply.shape
+    ds, ss, rank = _round_edges(chunk_lists, r0, n)
+    keep = (ds >= lo) & (ds < jnp.minimum(lo + sn, n)) & (rank < W)
+    rev = jnp.full((sn + 1, W), n, jnp.int32)
+    rev = rev.at[jnp.where(keep, ds - lo, sn),
+                 jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, ss, n), mode="drop")[:sn]
+    own = jax.lax.dynamic_slice_in_dim(supply, lo, sn, 0)
+    deg_own = jnp.sum(own < n, axis=1, dtype=jnp.int32)
+    deg_rev = jnp.sum(rev < n, axis=1, dtype=jnp.int32)
+    fit = (deg_own + deg_rev) <= W
+
+    def blk(args):
+        own_b, rev_b, fit_b = args
+        dup = (rev_b[:, :, None] == own_b[:, None, :]).any(axis=2)
+        posw = jax.lax.broadcasted_iota(jnp.int32, own_b.shape, 1)
+        own_key = jnp.where(own_b < n, posw, 3 * W + posw)
+        rev_key = jnp.where((rev_b < n) & ~dup, W + posw, 4 * W + posw)
+        keys = jnp.concatenate([own_key, rev_key], axis=1)
+        vals = jnp.concatenate([own_b, rev_b], axis=1)
+        k_s, v_s = jax.lax.sort((keys, vals), dimension=-1, num_keys=1)
+        packed = jnp.where(k_s[:, :W] < 2 * W, v_s[:, :W], jnp.int32(n))
+        return jnp.where(fit_b[:, None], packed, own_b)
+
+    bs = min(8192, sn)
+    for cand_bs in range(min(8192, sn), 255, -1):
+        if sn % cand_bs == 0:
+            bs = cand_bs
+            break
+    pad_r = (-sn) % bs
+    own_p = jnp.concatenate(
+        [own, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else own
+    rev_p = jnp.concatenate(
+        [rev, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else rev
+    fit_p = jnp.concatenate(
+        [fit, jnp.zeros((pad_r,), jnp.bool_)]) if pad_r else fit
+    merged = jax.lax.map(
+        blk, (own_p.reshape(-1, bs, W), rev_p.reshape(-1, bs, W),
+              fit_p.reshape(-1, bs))).reshape(-1, W)[:sn]
+    supply = jax.lax.dynamic_update_slice_in_dim(supply, merged, lo, 0)
+    return supply, fit
+
+
+@partial(jax.jit, static_argnames=("n", "W"))
+def _rev_rows_for_ids(chunk_lists, r0, ids_sorted, n: int, W: int):
+    """Reconstruct the arrival-order reverse lists for a sorted id set
+    (sentinel-padded) — the overflow rows' rev candidates, without a
+    dense N x W scratch."""
+    K = ids_sorted.shape[0]
+    ds, ss, rank = _round_edges(chunk_lists, r0, n)
+    pos = jnp.searchsorted(ids_sorted, ds)
+    pos_c = jnp.minimum(pos, K - 1)
+    hit = (jnp.take(ids_sorted, pos_c) == ds) & (ds < n) & (rank < W)
+    rev = jnp.full((K + 1, W), n, jnp.int32)
+    rev = rev.at[jnp.where(hit, pos_c, K),
+                 jnp.where(hit, rank, 0)].set(
+        jnp.where(hit, ss, n), mode="drop")[:K]
+    return rev
+
+
 def _refill_rows_device(pruned: jax.Array, cand: jax.Array,
                         n: int) -> jax.Array:
     """Overflow-row refill (host _concat_budgeted semantics): start from
@@ -701,18 +807,48 @@ def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
     The N*W reverse scratch lives only inside this call — at 10M it is
     2.56 GB, and keeping it referenced across the next round's search
     (as the caller previously did) tipped a 16 GB chip into
-    RESOURCE_EXHAUSTED next to base + supply."""
-    supply_dev, rev_dev, fit = _fold_round_device(
-        supply_dev, chunk_lists, jnp.int32(r0))
-    over = np.nonzero(~np.asarray(fit))[0]
+    RESOURCE_EXHAUSTED next to base + supply. Above ~4M nodes the fold
+    runs in row slabs (`_fold_slab` — bit-identical outputs) so the
+    reverse scratch + merged copy never materialize at full N x W."""
+    W = supply_dev.shape[1]
+    slabbed = n >= 4_000_000
+    if slabbed:
+        supply_dev = _fold_own_rows(supply_dev, chunk_lists, jnp.int32(r0))
+        # slab size: rev + merged scratch ~2 * sn * W * 4 bytes <= ~2.6 GB
+        n_slabs = max(2, -(-(8 * n * W) // (26 << 28)))
+        while n % n_slabs and n_slabs < 64:
+            n_slabs += 1  # prefer equal slabs (one compiled shape)
+        sn = -(-n // n_slabs)
+        fits = []
+        lo = 0
+        while lo < n:
+            s_len = min(sn, n - lo)
+            supply_dev, fit_s = _fold_slab(
+                supply_dev, chunk_lists, jnp.int32(r0), jnp.int32(lo),
+                sn=s_len)
+            fits.append(np.asarray(fit_s))
+            lo += s_len
+        fit = np.concatenate(fits)
+    else:
+        supply_dev, rev_dev, fit_d = _fold_round_device(
+            supply_dev, chunk_lists, jnp.int32(r0))
+        fit = np.asarray(fit_d)
+    over = np.nonzero(~fit)[0]
     if over.size:
         K = max(1024, 1 << (int(over.size) - 1).bit_length())
-        over_ids = np.zeros(K, np.int32)
+        # pad with sentinel n: keeps the id vector sorted for the
+        # searchsorted-based rev reconstruction; padded rows prune to
+        # garbage and are dropped by the sentinel scatter below
+        over_ids = np.full(K, n, np.int32)
         over_ids[: over.size] = over
-        ids_dev = jnp.asarray(over_ids)
+        ids_dev = jnp.asarray(np.minimum(over_ids, n - 1))
         own_rows = gather_rows_any(supply_dev, ids_dev)
-        rev_rows = gather_rows_any(rev_dev, ids_dev)
-        del rev_dev
+        if slabbed:
+            rev_rows = _rev_rows_for_ids(
+                chunk_lists, jnp.int32(r0), jnp.asarray(over_ids), n=n, W=W)
+        else:
+            rev_rows = gather_rows_any(rev_dev, ids_dev)
+            del rev_dev
         cand = jnp.concatenate([own_rows, rev_rows], axis=1)
         pruned = _batched_prune_rows(
             base_dev, ids_dev, cand, M, metric, prune_batch,
@@ -723,7 +859,7 @@ def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
         scat[: over.size] = over
         supply_dev = supply_dev.at[jnp.asarray(scat)].set(
             merged, mode="drop")
-    else:
+    elif not slabbed:
         del rev_dev
     return supply_dev, fit
 

@@ -95,3 +95,39 @@ def test_connectivity_engines(engine):
     ids, *_ = s.search(eval_q, k=10, L=96, query_batch=256)
     rec = compute_recall(ids, gt_i, 10)
     assert rec > 0.88, f"[{engine}] recall@10 = {rec}"
+
+
+def test_slab_fold_matches_single_jit_fold():
+    """The memory-bounded slab fold (>4M path) must be bit-identical to
+    the single-jit fold: same merged supply, same fit mask, and the
+    searchsorted rev reconstruction must reproduce the dense rev rows."""
+    import jax.numpy as jnp
+    from mysteryann_tpu.graph.roargraph import (
+        _fold_own_rows, _fold_round_device, _fold_slab, _rev_rows_for_ids)
+
+    rng = np.random.default_rng(77)
+    n, W, M, c, r0 = 3000, 16, 8, 600, 1200
+    supply = np.full((n, W), n, np.int32)
+    for i in range(n):  # ragged existing lists
+        deg = rng.integers(0, W)
+        supply[i, :deg] = rng.choice(n, size=deg, replace=False)
+    chunk = rng.integers(0, n + 40, (c, M)).astype(np.int32)  # some sentinels
+
+    a_supply, a_rev, a_fit = _fold_round_device(
+        jnp.asarray(supply), jnp.asarray(chunk), jnp.int32(r0))
+
+    b_supply = _fold_own_rows(jnp.asarray(supply), jnp.asarray(chunk),
+                              jnp.int32(r0))
+    fits = []
+    for lo in range(0, n, 1000):
+        b_supply, fit_s = _fold_slab(b_supply, jnp.asarray(chunk),
+                                     jnp.int32(r0), jnp.int32(lo), sn=1000)
+        fits.append(np.asarray(fit_s))
+    np.testing.assert_array_equal(np.asarray(b_supply), np.asarray(a_supply))
+    np.testing.assert_array_equal(np.concatenate(fits), np.asarray(a_fit))
+
+    ids = np.array([5, 77, 1200, 1201, 2999, n, n, n], np.int32)  # sorted
+    rev_b = _rev_rows_for_ids(jnp.asarray(chunk), jnp.int32(r0),
+                              jnp.asarray(ids), n=n, W=W)
+    np.testing.assert_array_equal(
+        np.asarray(rev_b)[:5], np.asarray(a_rev)[ids[:5]])
