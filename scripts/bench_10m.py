@@ -91,6 +91,39 @@ def main():
     log(rows[-1])
     del flat8
 
+    # ---- RoarGraph (built by scripts/build_10m.py; cached index) ----------
+    # The reference's headline regime is the 10M *graph* build + search
+    # (reference run_roargraph_test.sh:5-10). build_10m.py owns the
+    # multi-hour build; this sweep reports its serving rows whenever the
+    # cached index is present so the 10M table carries graph rows.
+    from mysteryann_tpu.graph import RoarGraphIndex
+    from mysteryann_tpu.search import Searcher
+    gkey = f"{key}_graph1000000"
+    for passes in (2, 1):
+        index_path = os.path.join(CACHE, f"{gkey}_p{passes}_proj.index")
+        if not os.path.exists(index_path):
+            continue
+        build_secs = None
+        try:
+            with open(index_path + ".build.json") as f:
+                build_secs = json.load(f)["build_secs"]
+        except (OSError, KeyError, ValueError):
+            pass
+        log(f"== RoarGraph (cached {passes}-pass index, seeded classic) ==")
+        index = RoarGraphIndex.load(index_path)
+        s = Searcher(index, base, seed_sample=8)
+        for L in (100, 150, 250):
+            for _ in range(2):
+                r = s.benchmark(eval_q, k=K, L=L, query_batch=8192,
+                                visited_mode="merge", expand=4, seeds=32)
+            rows.append({"mode": f"graph_p{passes}_seeded_L{L}",
+                         "qps": round(r["qps"], 1),
+                         "recall": round(compute_recall(r["ids"], gt_i, K), 4),
+                         "build_s": build_secs})
+            log(rows[-1])
+        del s, index
+        break
+
     log("== IVF (4096 clusters) ==")
     t0 = time.time()
     # cap_factor bounds the padded-block HBM (1.2 → ~6.2 GB at 10M)
