@@ -211,7 +211,8 @@ class BipartiteSearcher:
 
     def search(self, queries: np.ndarray, k: int, L: int,
                query_batch: int = 512,
-               two_hop_chunk: int = 0) -> Tuple[np.ndarray, ...]:
+               two_hop_chunk: int = 0,
+               device_out: bool = False) -> Tuple[np.ndarray, ...]:
         import jax
 
         if not isinstance(queries, jax.Array):
@@ -236,6 +237,15 @@ class BipartiteSearcher:
                 jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
                 metric=self.metric, two_hop=True,
                 two_hop_chunk=two_hop_chunk))
+        if device_out:
+            # leave results on device (timed regions fence + download after)
+            if len(outs) == 1:
+                r = outs[0]
+                return r.ids[:nq], r.dists[:nq], r.cmps[:nq], r.hops[:nq]
+            return (jnp.concatenate([r.ids for r in outs])[:nq],
+                    jnp.concatenate([r.dists for r in outs])[:nq],
+                    jnp.concatenate([r.cmps for r in outs])[:nq],
+                    jnp.concatenate([r.hops for r in outs])[:nq])
         out_i = np.concatenate([np.asarray(r.ids) for r in outs])[:nq]
         out_d = np.concatenate([np.asarray(r.dists) for r in outs])[:nq]
         out_c = np.concatenate([np.asarray(r.cmps) for r in outs])[:nq]

@@ -62,11 +62,15 @@ def main():
     rows = []
     for L in (50, 100, 200, 400):
         qb = 4096
-        # warm
-        fence(s.search(eval_q[:qb], k=K, L=L, query_batch=qb)[0])
+        # warm (compile), then device-timed: results stay on device and
+        # the region ends with a 4-byte fence download (bench.py method)
+        fence(s.search(eval_q[:qb], k=K, L=L, query_batch=qb,
+                       device_out=True))
         t0 = time.time()
-        ids, dists, cmps, hops = s.search(eval_q, k=K, L=L, query_batch=qb)
+        out = s.search(eval_q, k=K, L=L, query_batch=qb, device_out=True)
+        fence(out)
         dt = time.time() - t0
+        ids, dists, cmps, hops = (np.asarray(o) for o in out)
         rows.append({
             "mode": f"bipartite_two_hop_L{L}",
             "qps": round(eval_q.shape[0] / dt, 1),
