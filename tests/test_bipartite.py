@@ -65,6 +65,21 @@ def test_save_load(world, tmp_path):
     assert compute_recall(ids, gt, 10) > 0.8
 
 
+def test_two_hop_chunk_matches_unchunked(world):
+    # the bounded hop-2 expansion (beam.py two_hop_chunk) must reproduce
+    # the single-shot [B, M^2] fan-out exactly: chunks dedup against the
+    # same visited set in first-occurrence order
+    base, eval_q, index, gt = world
+    s = BipartiteSearcher(index, base, seed=3)
+    full = s.search(eval_q, k=10, L=64, query_batch=150,
+                    two_hop_chunk=int(index.neighbors.shape[1]))
+    for c in (3, 7):
+        chunked = s.search(eval_q, k=10, L=64, query_batch=150,
+                           two_hop_chunk=c)
+        for a, b in zip(full, chunked):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_base_row_cap(world):
     base, _, _, _ = world
     _, train_q = make_cross_modal(10, 500, 24, metric="ip", seed=4)
