@@ -68,6 +68,25 @@ def test_build_and_search_roargraph_cli(data_dir, capsys):
     assert recall > 0.7
 
 
+def test_search_roargraph_cli_fused_seeded(data_dir, capsys):
+    # the fused-engine + per-query-seeding serving flags (the 1M serving
+    # mode of record) through the CLI surface
+    rc = search_roargraph.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--projection_index_save_path", str(data_dir / "proj.index"),
+        "--query_path", str(data_dir / "eval.fbin"),
+        "--gt_path", str(data_dir / "gt.bin"),
+        "--k", "10", "--L_pq", "64", "--query_batch", "100",
+        "--engine", "fused", "--seeds", "8", "--seed_sample", "4",
+        "--expand", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    row = [ln for ln in out.strip().splitlines() if ln.lstrip()[:2].isdigit()]
+    recall = float(row[-1].split()[4])
+    assert recall > 0.7
+
+
 def test_search_flat_cli(data_dir, capsys):
     rc = search_flat.main([
         "--base_data_path", str(data_dir / "base.fbin"),
