@@ -43,6 +43,9 @@ def main():
     ap.add_argument("--seed_sample", type=int, default=4)
     ap.add_argument("--expand", type=int, default=4)
     ap.add_argument("--max_degree", type=int, default=48)
+    ap.add_argument("--exit_f", type=float, default=None,
+                    help="early-termination factor (see fused.py); cuts "
+                         "tail hops for easy queries at a small recall cost")
     ap.add_argument("--L", type=int, nargs="+",
                     default=[40, 50, 60, 75, 90, 110, 130, 160, 200])
     args = ap.parse_args()
@@ -98,7 +101,8 @@ def main():
     for L in args.L:
         for _ in range(2):
             r = fused.benchmark(eval_q, k=K, L=L, query_batch=8192,
-                                expand=args.expand, seeds=args.seeds)
+                                expand=args.expand, seeds=args.seeds,
+                                exit_f=args.exit_f)
         rows.append({
             "L": L, "qps": round(r["qps"], 1),
             "recall": round(compute_recall(r["ids"], gt_i, K), 4),
