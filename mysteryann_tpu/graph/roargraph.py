@@ -1051,23 +1051,30 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     final_dev = _compact_truncate_device(supply_dev, cap=M, n=n)
     over = np.nonzero(deg > M)[0]
     if over.size:
-        K = max(1024, 1 << (int(over.size) - 1).bit_length())
-        over_ids = np.zeros(K, np.int32)
-        over_ids[: over.size] = over
-        ids_dev = jnp.asarray(over_ids)
-        cand = gather_rows_any(supply_dev, ids_dev)
-        # same prune variant as the in-round pass (reference reuses
-        # PruneProjectionBaseSearchCandidates at :1240): projection
-        # members can't seed (two_pass off — see the in-round note)
-        proj_rows = proj_take(over_ids)
-        ns = (cand[:, :, None] == proj_rows[:, None, :]).any(
-            axis=2) & (cand < n)
-        pruned = _batched_prune_rows(
-            base_dev, ids_dev, cand, M, metric, prune_batch,
-            fill=False, not_seedable=ns, return_device=True)
-        scat = np.full(K, n, np.int32)
-        scat[: over.size] = over
-        final_dev = final_dev.at[jnp.asarray(scat)].set(pruned, mode="drop")
+        # fixed-size blocks: a one-shot pass materialized a pow2-padded
+        # [K, W] gather plus a [K, W, M] seed-membership mask — at 10M
+        # (K up to 16M) that is several x chip HBM. One block shape keeps
+        # a single compile.
+        OB = min(1 << 17, max(1024, 1 << (int(over.size) - 1).bit_length()))
+        for s in range(0, int(over.size), OB):
+            blk = over[s: s + OB]
+            over_ids = np.zeros(OB, np.int32)  # pad rows pruned then dropped
+            over_ids[: blk.size] = blk
+            ids_dev = jnp.asarray(over_ids)
+            cand = gather_rows_any(supply_dev, ids_dev)
+            # same prune variant as the in-round pass (reference reuses
+            # PruneProjectionBaseSearchCandidates at :1240): projection
+            # members can't seed (two_pass off — see the in-round note)
+            proj_rows = proj_take(over_ids)
+            ns = (cand[:, :, None] == proj_rows[:, None, :]).any(
+                axis=2) & (cand < n)
+            pruned = _batched_prune_rows(
+                base_dev, ids_dev, cand, M, metric, prune_batch,
+                fill=False, not_seedable=ns, return_device=True)
+            scat = np.full(OB, n, np.int32)
+            scat[: blk.size] = blk
+            final_dev = final_dev.at[jnp.asarray(scat)].set(
+                pruned, mode="drop")
     return np.asarray(final_dev)
 
 
@@ -1125,16 +1132,21 @@ def _ensure_reachability(final: np.ndarray, ep: int, base_dev, metric,
                 log(f"phase E: reachability repaired in {it} rounds")
             return final
         log(f"phase E round {it}: {stranded.size} unreachable nodes")
-        # nearest reachable neighbor for each stranded node (batch padded
-        # to a power of two so repair rounds share compiled shapes)
+        # nearest reachable neighbor for each stranded node. Fixed-size
+        # query blocks (padded, one compiled shape): exact_knn_device
+        # holds a [B, tile] distance block, so an unchunked B =
+        # stranded.size OOMs when a big build strands 100k+ nodes.
         kk = 32
-        bs = 1 << max(5, (stranded.size - 1).bit_length())
-        pad_ids = np.zeros(bs, np.int32)
-        pad_ids[: stranded.size] = stranded
-        q = jnp.take(base_dev, jnp.asarray(pad_ids), axis=0)
-        _, cand = exact_knn_device(q, base_dev, k=kk, metric=metric,
-                                   tile=min(131072, n), approx=True)
-        cand = np.asarray(cand)[: stranded.size]
+        qb = min(8192, 1 << max(5, (stranded.size - 1).bit_length()))
+        cand = np.empty((stranded.size, kk), np.int32)
+        for s in range(0, int(stranded.size), qb):
+            blk = stranded[s: s + qb]
+            pad_ids = np.zeros(qb, np.int32)
+            pad_ids[: blk.size] = blk
+            q = jnp.take(base_dev, jnp.asarray(pad_ids), axis=0)
+            _, c = exact_knn_device(q, base_dev, k=kk, metric=metric,
+                                    tile=min(131072, n), approx=True)
+            cand[s: s + blk.size] = np.asarray(c)[: blk.size]
         # attach to the A nearest reachable anchors (a single thin edge
         # leaves repaired nodes hard to find; the reference's tail nodes
         # carry ~M/2 in-edges)
