@@ -455,7 +455,14 @@ def build_roargraph(
         "knn": _digest(learn_base_knn)})
 
     with Timer("medoid") as t_med:
-        ep = compute_medoid(base_dev)
+        # checkpointed: ~10 min of device time at 10M, pure function of
+        # the (fingerprinted) base — a resume must not pay it again
+        ep_st = ckpt.load("medoid")
+        if ep_st is not None:
+            ep = int(ep_st[0])
+        else:
+            ep = compute_medoid(base_dev)
+            ckpt.save("medoid", np.asarray([ep], np.int64))
     log(f"projection ep: {ep} ({t_med.elapsed:.2f}s)")
 
     # ---- Phase A: projection ------------------------------------------------
@@ -946,11 +953,6 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             return jnp.asarray(projection[sl: sl + sb])
         return jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
 
-    def proj_take(ids: np.ndarray):
-        if proj_on_host:
-            return jnp.asarray(projection[np.minimum(ids, n - 1)])
-        return gather_rows_any(proj_dev, jnp.asarray(ids))
-
     table = None
     H = cfg.history_mult * L  # history ≈ reference full_retset size
     r0 = 0
@@ -1047,29 +1049,55 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
 
     # overflow re-prune: any row > M goes back through the occlusion prune
     # (reference :1224-1248, no fill)
-    deg = np.asarray(jnp.sum(supply_dev < n, axis=1))
-    final_dev = _compact_truncate_device(supply_dev, cap=M, n=n)
+    #
+    # Memory discipline at 10M on a 16 GB chip: the one-shot version kept
+    # base (5.1 GB) + full-width supply (2.6 GB) + truncated copy
+    # (1.3 GB) + the compact's sort scratch resident at once and OOMed
+    # right after the phase-D replay. Order of operations here: slab the
+    # degree scan, hoist the overflow rows to the HOST while supply is
+    # alive, slab the compact-truncate, FREE supply, then prune from the
+    # host copies.
+    SLAB = min(n, 1 << 20)
+    deg = np.empty(n, np.int32)
+    for s in range(0, n, SLAB):
+        st = min(s, n - SLAB)  # clamped window; overlap recomputed
+        sl = jax.lax.dynamic_slice_in_dim(supply_dev, st, SLAB, 0)
+        deg[st: st + SLAB] = np.asarray(
+            jnp.sum(sl < n, axis=1, dtype=jnp.int32))
     over = np.nonzero(deg > M)[0]
+    OB = 1 << 16  # one block shape = one compile
+    cand_h = None
     if over.size:
-        # fixed-size blocks: a one-shot pass materialized a pow2-padded
-        # [K, W] gather plus a [K, W, M] seed-membership mask — at 10M
-        # (K up to 16M) that is several x chip HBM. One block shape keeps
-        # a single compile.
-        OB = min(1 << 17, max(1024, 1 << (int(over.size) - 1).bit_length()))
+        cand_h = np.empty((int(over.size), W), np.int32)
+        for s in range(0, int(over.size), OB):
+            blk = over[s: s + OB]
+            ids = np.zeros(OB, np.int32)
+            ids[: blk.size] = blk
+            cand_h[s: s + blk.size] = np.asarray(
+                gather_rows_any(supply_dev, jnp.asarray(ids)))[: blk.size]
+    parts = []
+    for s in range(0, n, SLAB):
+        st = min(s, n - SLAB)
+        sl = jax.lax.dynamic_slice_in_dim(supply_dev, st, SLAB, 0)
+        parts.append(_compact_truncate_device(sl, cap=M, n=n)[s - st:])
+    final_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    final_dev.block_until_ready()
+    del parts, supply_dev, chunk_dev
+    if over.size:
         for s in range(0, int(over.size), OB):
             blk = over[s: s + OB]
             over_ids = np.zeros(OB, np.int32)  # pad rows pruned then dropped
             over_ids[: blk.size] = blk
-            ids_dev = jnp.asarray(over_ids)
-            cand = gather_rows_any(supply_dev, ids_dev)
+            cand = np.full((OB, W), n, np.int32)
+            cand[: blk.size] = cand_h[s: s + blk.size]
             # same prune variant as the in-round pass (reference reuses
             # PruneProjectionBaseSearchCandidates at :1240): projection
             # members can't seed (two_pass off — see the in-round note)
-            proj_rows = proj_take(over_ids)
+            proj_rows = projection[np.minimum(over_ids, n - 1)]
             ns = (cand[:, :, None] == proj_rows[:, None, :]).any(
                 axis=2) & (cand < n)
             pruned = _batched_prune_rows(
-                base_dev, ids_dev, cand, M, metric, prune_batch,
+                base_dev, over_ids, cand, M, metric, prune_batch,
                 fill=False, not_seedable=ns, return_device=True)
             scat = np.full(OB, n, np.int32)
             scat[: blk.size] = blk

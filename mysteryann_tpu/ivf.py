@@ -56,6 +56,38 @@ def _ivf_topc(q, centroids, nprobe: int, metric: Metric):
     return top_c.astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnames=("nc", "qmax"))
+def _ivf_group(top_c, nc: int, qmax: int):
+    """Cluster-major query map ON DEVICE: top_c [B, p] -> (qmap [nc, qmax],
+    slots [B, p, 2], valid [B, p]).
+
+    The host version of this grouping (argsort + bincount) cost a
+    ~20 MB/batch host round trip — fatal through the ~5 MB/s axon tunnel.
+    Same semantics: probes beyond a cluster's qmax slot budget are
+    dropped (valid=False, masked at the merge).
+    """
+    B, p = top_c.shape
+    flat_c = top_c.reshape(-1)
+    arrival = jnp.arange(B * p, dtype=jnp.int32)          # q-major order
+    cs, ar = jax.lax.sort((flat_c, arrival), dimension=-1, num_keys=2)
+    is_start = jnp.concatenate([jnp.ones((1,), jnp.bool_), cs[1:] != cs[:-1]])
+    pos = jnp.arange(B * p, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    rank = pos - seg_start
+    keep = rank < qmax
+    qs = ar // p
+    qmap = jnp.full((nc, qmax), B, jnp.int32)
+    qmap = qmap.at[jnp.where(keep, cs, nc),   # nc = out of bounds -> drop
+                   jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, qs, B), mode="drop")
+    # scatter (cluster, rank) back to (query, probe) order via arrival
+    slots = jnp.zeros((B * p, 2), jnp.int32)
+    slots = slots.at[ar, 0].set(jnp.where(keep, cs, 0))
+    slots = slots.at[ar, 1].set(jnp.where(keep, rank, 0))
+    valid = jnp.zeros((B * p,), jnp.bool_).at[ar].set(keep)
+    return qmap, slots.reshape(B, p, 2), valid.reshape(B, p)
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "cap", "dim", "n_base"))
 def _ivf_scan_grouped(q, qmap, blocks, block_ids, k: int, metric: Metric,
                       cap: int, dim: int, n_base: int):
@@ -94,6 +126,39 @@ def _ivf_scan_grouped(q, qmap, blocks, block_ids, k: int, metric: Metric,
     return ids, vals                               # [nc, Qmax, k]
 
 
+@partial(jax.jit, static_argnames=("k", "cap", "dim", "n_base"))
+def _ivf_scan_grouped_i8(q_i8, qmap, blocks, block_ids, k: int,
+                         cap: int, dim: int, n_base: int):
+    """int8 twin of `_ivf_scan_grouped` (IP/cosine only): one global base
+    scale + per-row query scales keep raw s8xs8->s32 scores
+    order-preserving per query, so ranking needs no dequantization. The
+    returned "distances" are raw -s32 in each query's own scale — valid
+    for per-query merging, NOT comparable across queries; callers rerank
+    (or rescale by q_scale * g_scale) for reportable distances."""
+    B = q_i8.shape[0]
+
+    def step(_, inp):
+        block_flat, bids, qrow = inp
+        block = block_flat.reshape(cap, dim)
+        qv = jnp.take(q_i8, jnp.minimum(qrow, B - 1), axis=0)
+        s32 = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        dist = jnp.where(bids[None, :] < n_base,
+                         -s32.astype(jnp.float32), jnp.inf)
+        vals, pos = jax.lax.approx_min_k(dist, k=min(k, cap))
+        ids = jnp.take(bids, pos)
+        if k > cap:  # degenerate tiny clusters
+            padw = k - cap
+            vals = jnp.pad(vals, ((0, 0), (0, padw)),
+                           constant_values=jnp.inf)
+            ids = jnp.pad(ids, ((0, 0), (0, padw)),
+                          constant_values=n_base)
+        return None, (ids, vals)
+
+    _, (ids, vals) = jax.lax.scan(step, None, (blocks, block_ids, qmap))
+    return ids, vals
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _ivf_merge(cand_ids, cand_d, slots, valid, k: int):
     """Per-query merge: gather each query's p×k candidates and top-k.
@@ -109,6 +174,24 @@ def _ivf_merge(cand_ids, cand_d, slots, valid, k: int):
     cd = cd.reshape(B, -1)
     neg, pos = jax.lax.top_k(-cd, k)
     return jnp.take_along_axis(ci, pos, axis=1), -neg
+
+
+@partial(jax.jit, static_argnames=("k", "metric", "n_base"))
+def _ivf_rerank(q, ids, vals, base_f32, k: int, metric: Metric, n_base: int):
+    """Exact-f32 rerank of merged candidates: gather each candidate's
+    f32 row and recompute the true distance (invalid slots keep inf)."""
+    rows = jnp.take(base_f32, jnp.minimum(ids, n_base - 1), axis=0)
+    ip = jnp.einsum("bd,brd->br", q, rows,
+                    preferred_element_type=jnp.float32)
+    if metric in (Metric.IP, Metric.COSINE):
+        dist = -ip
+    else:
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        bn = jnp.sum(rows * rows, axis=2)
+        dist = qn - 2.0 * ip + bn
+    dist = jnp.where(jnp.isfinite(vals), dist, jnp.inf)
+    neg, pos = jax.lax.top_k(-dist, k)
+    return jnp.take_along_axis(ids, pos, axis=1), -neg
 
 
 @partial(jax.jit,
@@ -183,9 +266,24 @@ def _kmeans(x_dev, n_clusters: int, metric: Metric, iters: int,
 
 @register_index("ivf")
 class IVFIndex:
+    """IVF over contiguous cluster blocks; optional int8 storage.
+
+    ``store="int8"`` (IP/cosine only) quantizes cluster blocks to int8
+    with ONE global symmetric scale; queries get per-row scales at
+    search time, so the raw s8xs8->s32 scores are order-preserving per
+    query and ranking needs no dequantization (merged distances are
+    rescaled once for reporting). This quarters the resident set —
+    the regime that matters: a 50M x 128d corpus is 25.6 GB in f32
+    (cannot fit a 16 GB chip even as a flat scan) but 6.4 GB in int8
+    cluster blocks. ``keep_f32=True`` (fits-in-HBM scales only)
+    retains the f32 rows for exact rerank of the merged top
+    candidates (``search(..., rerank=R)``).
+    """
+
     def __init__(self, base: np.ndarray, metric: Metric | str = Metric.IP,
                  n_clusters: int = 0, cap_factor: float = 1.6,
-                 kmeans_iters: int = 10, seed: int = 0, verbose: bool = False):
+                 kmeans_iters: int = 10, seed: int = 0, verbose: bool = False,
+                 store: str = "f32", keep_f32: bool = False):
         self.metric = Metric.parse(metric)
         base_dev = prepare_vectors(np.asarray(base, np.float32), self.metric)
         n, dim = base_dev.shape
@@ -253,60 +351,110 @@ class IVFIndex:
         self.n_clusters = nc
         self.cap = cap
         self.centroids = jnp.asarray(centroids)
-        self.blocks = jnp.asarray(blocks.reshape(nc, cap * dim))
+        self.store = store
+        if store == "int8":
+            if self.metric not in (Metric.IP, Metric.COSINE):
+                raise ValueError("store='int8' supports IP/cosine only")
+            self.gscale = float(127.0 / max(np.abs(blocks).max(), 1e-30))
+            self.blocks = jnp.asarray(
+                np.clip(np.rint(blocks * self.gscale), -127, 127)
+                .astype(np.int8).reshape(nc, cap * dim))
+        elif store == "f32":
+            self.gscale = 1.0
+            self.blocks = jnp.asarray(blocks.reshape(nc, cap * dim))
+        else:
+            raise ValueError(f"unknown store={store!r}")
         self.block_ids = jnp.asarray(ids)
+        self.base_f32 = jnp.asarray(base_np) if keep_f32 else None
         self.dim = dim
         if verbose:
             print(f"IVF: {nc} clusters cap {cap} "
-                  f"(waste {nc * cap / n:.2f}x) built in "
+                  f"(waste {nc * cap / n:.2f}x, store {store}) built in "
                   f"{time.perf_counter() - t0:.1f}s")
+
+    @classmethod
+    def from_parts(cls, centroids, blocks, block_ids, n_base: int,
+                   metric: Metric | str = Metric.IP, gscale: float = 1.0):
+        """Assemble an index from device-resident parts.
+
+        The 50M-scale path: the corpus never exists as one host array —
+        shards are generated/loaded, assigned, quantized, and scattered
+        into `blocks` ON DEVICE (scripts/bench_50m.py), then handed
+        here. `blocks` is [nc, cap*dim] (int8 or f32), `block_ids`
+        [nc, cap] with sentinel >= n_base in padding slots, `gscale`
+        the global quantization scale (int8 blocks = gscale * f32 rows).
+        """
+        self = cls.__new__(cls)
+        self.metric = Metric.parse(metric)
+        blocks = jnp.asarray(blocks)
+        block_ids = jnp.asarray(block_ids)
+        nc, capdim = blocks.shape
+        dim = centroids.shape[1]
+        self.n_base = int(n_base)
+        self.n_clusters = nc
+        self.cap = capdim // dim
+        self.centroids = jnp.asarray(centroids)
+        self.store = "int8" if blocks.dtype == jnp.int8 else "f32"
+        if self.store == "int8" and self.metric not in (Metric.IP,
+                                                        Metric.COSINE):
+            raise ValueError("store='int8' supports IP/cosine only")
+        self.gscale = float(gscale)
+        self.blocks = blocks
+        self.block_ids = block_ids
+        self.base_f32 = None
+        self.dim = dim
+        return self
 
     def _search_device(self, q, k: int, nprobe: int):
         return _ivf_search(q, self.centroids, self.blocks, self.block_ids,
                            k=k, nprobe=nprobe, metric=self.metric,
                            cap=self.cap, dim=self.dim, n_base=self.n_base)
 
-    def _search_grouped(self, q, k: int, nprobe: int):
+    def _search_grouped(self, q, k: int, nprobe: int, rerank: int = 0):
         """Cluster-major (query-grouped) probe — the compute-shared path.
 
-        Host builds the cluster→queries map (`qmap`, width bucketed to a
-        power of two for compile reuse); probes beyond a cluster's slot
-        budget are dropped (masked at the merge) — with a 4× average-load
+        The cluster→queries map (`qmap`, width bucketed to a power of
+        two for compile reuse) is built ON DEVICE (`_ivf_group`) —
+        the earlier host version cost a ~20 MB/batch round trip through
+        the ~5 MB/s axon tunnel. Probes beyond a cluster's slot budget
+        are dropped (masked at the merge) — with an 8× average-load
         budget this affects a negligible tail.
         """
         B = q.shape[0]
-        nc = self.n_clusters
-        top_c = np.asarray(_ivf_topc(q, self.centroids, nprobe, self.metric))
-        flat_c = top_c.ravel().astype(np.int64)
-        flat_q = np.repeat(np.arange(B, dtype=np.int64), nprobe)
-        order = np.argsort(flat_c, kind="stable")
-        cs, qs = flat_c[order], flat_q[order]
-        counts = np.bincount(cs, minlength=nc)
-        offs = np.zeros(nc + 1, np.int64)
-        np.cumsum(counts, out=offs[1:])
-        rank = np.arange(cs.size) - offs[cs]
-        avg_load = max(1, B * nprobe // nc)
+        avg_load = max(1, B * nprobe // self.n_clusters)
         qmax = 1 << int(np.ceil(np.log2(8 * avg_load)))
-        keep = rank < qmax
-        qmap = np.full((nc, qmax), B, np.int32)
-        qmap[cs[keep], rank[keep]] = qs[keep].astype(np.int32)
-        # slots/valid in (query, probe) order
-        slots = np.zeros((B, nprobe, 2), np.int32)
-        valid = np.zeros((B, nprobe), bool)
-        probe_idx = order % nprobe  # original probe position of each pair
-        slots[qs[keep], probe_idx[keep], 0] = cs[keep].astype(np.int32)
-        slots[qs[keep], probe_idx[keep], 1] = rank[keep].astype(np.int32)
-        valid[qs[keep], probe_idx[keep]] = True
-        cand_ids, cand_d = _ivf_scan_grouped(
-            q, jnp.asarray(qmap), self.blocks, self.block_ids, k=k,
-            metric=self.metric, cap=self.cap, dim=self.dim,
-            n_base=self.n_base)
-        return _ivf_merge(cand_ids, cand_d, jnp.asarray(slots),
-                          jnp.asarray(valid), k=k)
+        top_c = _ivf_topc(q, self.centroids, nprobe, self.metric)
+        qmap, slots, valid = _ivf_group(top_c, self.n_clusters, qmax)
+        kk = max(k, rerank)
+        if self.store == "int8":
+            qs = 127.0 / jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-30)
+            q_i8 = jnp.clip(jnp.rint(q * qs[:, None]),
+                            -127, 127).astype(jnp.int8)
+            cand_ids, cand_d = _ivf_scan_grouped_i8(
+                q_i8, qmap, self.blocks, self.block_ids, k=kk,
+                cap=self.cap, dim=self.dim, n_base=self.n_base)
+            ids, vals = _ivf_merge(cand_ids, cand_d, slots, valid, k=kk)
+            # raw -s32 -> approximate f32 -IP for reporting
+            vals = vals / (qs[:, None] * self.gscale)
+        else:
+            cand_ids, cand_d = _ivf_scan_grouped(
+                q, qmap, self.blocks, self.block_ids, k=kk,
+                metric=self.metric, cap=self.cap, dim=self.dim,
+                n_base=self.n_base)
+            ids, vals = _ivf_merge(cand_ids, cand_d, slots, valid, k=kk)
+        if rerank:
+            if self.base_f32 is None:
+                raise ValueError("rerank needs keep_f32=True at build")
+            ids, vals = _ivf_rerank(q, ids, vals, self.base_f32, k=k,
+                                    metric=self.metric,
+                                    n_base=self.n_base)
+        elif kk != k:
+            ids, vals = ids[:, :k], vals[:, :k]
+        return ids, vals
 
     def search(self, queries: np.ndarray, k: int, nprobe: int = 16,
                query_batch: int = 2048, grouped: bool = True,
-               device_out: bool = False,
+               device_out: bool = False, rerank: int = 0,
                ) -> Tuple[np.ndarray, np.ndarray]:
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
@@ -316,7 +464,12 @@ class IVFIndex:
         pad = (-nq) % qb
         if pad:
             q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
-        impl = self._search_grouped if grouped else self._search_device
+        if self.store == "int8" and not grouped:
+            raise ValueError("store='int8' serves via the grouped path")
+        if grouped:
+            impl = partial(self._search_grouped, rerank=rerank)
+        else:
+            impl = self._search_device
         outs = []
         for s in range(0, nq + pad, qb):
             outs.append(impl(jax.lax.dynamic_slice_in_dim(q, s, qb),
@@ -331,20 +484,20 @@ class IVFIndex:
         return ids.astype(np.int32), dists
 
     def benchmark(self, queries: np.ndarray, k: int, nprobe: int = 16,
-                  query_batch: int = 2048, warmup: int = 1) -> dict:
+                  query_batch: int = 2048, warmup: int = 1,
+                  rerank: int = 0) -> dict:
         # device-timed like FlatIndex.benchmark: the final result
-        # download stays out of the timed region. The grouped path's
-        # per-batch probe-map host round trip remains timed — it is part
-        # of the algorithm, not the harness.
+        # download stays out of the timed region; the probe-map grouping
+        # is on-device, so the timed region is pure device work.
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
         from mysteryann_tpu.utils.fence import fence
         for _ in range(warmup):
-            fence(self.search(
-                q[:qb], k, nprobe=nprobe, query_batch=qb, device_out=True))
+            fence(self.search(q[:qb], k, nprobe=nprobe, query_batch=qb,
+                              device_out=True, rerank=rerank))
         t0 = time.perf_counter()
         out = self.search(q, k, nprobe=nprobe, query_batch=qb,
-                          device_out=True)
+                          device_out=True, rerank=rerank)
         fence(out)
         dt = time.perf_counter() - t0
         ids, dists = (np.asarray(o) for o in out)

@@ -19,8 +19,8 @@ def test_checkpoint_resume_identical(tmp_path):
     # phase files + config fingerprint exist
     import os
     assert {f for f in os.listdir(ck)} == {
-        "build_phaseA.npy", "build_phaseBC.npy", "build_phaseD.npy",
-        "build_meta.json"}
+        "build_medoid.npy", "build_phaseA.npy", "build_phaseBC.npy",
+        "build_phaseD.npy", "build_meta.json"}
     # resume from checkpoints reproduces the same graph
     b = build_roargraph(base, train_q, knn, cfg, verbose=False,
                         checkpoint_dir=ck)

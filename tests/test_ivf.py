@@ -51,3 +51,49 @@ def test_ivf_benchmark_schema(world):
     r = idx.benchmark(q, k=5, nprobe=4, query_batch=250)
     assert r["qps"] > 0 and r["nprobe"] == 4
     assert r["ids"].shape == (500, 5)
+
+def test_ivf_grouped_matches_ungrouped(world):
+    # the on-device qmap/merge path must rank identically to the
+    # per-query probe path (same clusters scanned, exact f32 distances)
+    base, q, _ = world
+    idx = IVFIndex(base, metric="ip", n_clusters=64, kmeans_iters=3)
+    ids_g, d_g = idx.search(q, k=10, nprobe=8, query_batch=500)
+    ids_u, d_u = idx.search(q, k=10, nprobe=8, query_batch=500,
+                            grouped=False)
+    # allow distance ties to permute ids; the distance curves must match
+    np.testing.assert_allclose(d_g, d_u, rtol=1e-5, atol=1e-5)
+    assert (ids_g == ids_u).mean() > 0.99
+
+
+def test_ivf_int8_recall_and_rerank(world):
+    base, q, gt = world
+    idx8 = IVFIndex(base, metric="ip", n_clusters=128, kmeans_iters=5,
+                    store="int8", keep_f32=True)
+    ids, dists = idx8.search(q, k=10, nprobe=32, query_batch=500)
+    r8 = compute_recall(ids, gt, 10)
+    assert r8 > 0.90, f"int8 recall {r8}"
+    # approximate distances are in f32 units (close to true IP)
+    idx = IVFIndex(base, metric="ip", n_clusters=128, kmeans_iters=5)
+    _, d_f = idx.search(q, k=10, nprobe=32, query_batch=500)
+    assert np.median(np.abs(dists[:, 0] - d_f[:, 0])
+                     / np.abs(d_f[:, 0])) < 0.05
+    # exact-f32 rerank over a widened candidate list recovers recall
+    ids_r, d_r = idx8.search(q, k=10, nprobe=32, query_batch=500,
+                             rerank=40)
+    rr = compute_recall(ids_r, gt, 10)
+    assert rr >= r8 and rr > 0.95, f"rerank recall {rr} (int8 {r8})"
+    assert np.all(np.diff(d_r, axis=1) >= -1e-5)
+
+
+def test_ivf_from_parts_roundtrip(world):
+    base, q, _ = world
+    idx = IVFIndex(base, metric="ip", n_clusters=64, kmeans_iters=3,
+                   store="int8")
+    idx2 = IVFIndex.from_parts(idx.centroids, idx.blocks, idx.block_ids,
+                               n_base=idx.n_base, metric="ip",
+                               gscale=idx.gscale)
+    assert idx2.store == "int8" and idx2.cap == idx.cap
+    ids_a, d_a = idx.search(q, k=10, nprobe=8, query_batch=500)
+    ids_b, d_b = idx2.search(q, k=10, nprobe=8, query_batch=500)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
