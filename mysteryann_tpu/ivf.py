@@ -31,6 +31,7 @@ to their next-nearest cluster with room).
 
 from __future__ import annotations
 
+import sys
 import time
 from functools import partial
 from typing import Tuple
@@ -384,7 +385,8 @@ class IVFIndex:
         if verbose:
             print(f"IVF: {nc} clusters cap {cap} "
                   f"(waste {nc * cap / n:.2f}x, store {store}) built in "
-                  f"{time.perf_counter() - t0:.1f}s")
+                  f"{time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
     @classmethod
     def from_parts(cls, centroids, blocks, block_ids, n_base: int,
@@ -578,18 +580,28 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
     del samp
     if verbose:
         print(f"ivf-streaming: kmeans {nc} clusters in "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+              f"{time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
 
     from mysteryann_tpu.ops.knn import exact_knn_device
     kk = min(8, nc)
     c_dev = jnp.asarray(centroids)
     cand = np.empty((n, kk), np.int32)
     gmax = 0.0
+    # the [rows, nc] f32 distance block must stay well under HBM
+    # (nc ~ 14k at 50M -> a full 1M tile would be 59 GB): sub-chunk the
+    # assignment to a power-of-two row count bounded by ~3 GB
+    sub = 1 << max(13, int(np.log2(max(1, (3 << 30) // (4 * nc)))))
+    sub = min(sub, tile)
     for s in range(0, n, tile):
         st = min(s, n - tile)
         rows = tile_fn(st, tile)
-        _, ii = exact_knn_device(rows, c_dev, k=kk, metric=metric, tile=nc)
-        cand[st: st + tile] = np.asarray(ii)
+        for ss in range(0, tile, sub):
+            w = min(sub, tile - ss)
+            _, ii = exact_knn_device(
+                jax.lax.dynamic_slice_in_dim(rows, ss, w, 0),
+                c_dev, k=kk, metric=metric, tile=nc)
+            cand[st + ss: st + ss + w] = np.asarray(ii)
         gmax = max(gmax, float(jnp.max(jnp.abs(rows))))
     cap0 = int(np.ceil(n / nc * cap_factor))
     slot_cluster, slot_pos, cap = _capacity_place(cand, nc, cap0)
@@ -598,7 +610,8 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
     if verbose:
         print(f"ivf-streaming: assigned, cap {cap} "
               f"(waste {nc * cap / n:.2f}x) at "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+              f"{time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
 
     flat_slot = slot_cluster.astype(np.int64) * cap + slot_pos
     tbl = jnp.zeros((nc * cap, dim), jnp.int8)
