@@ -103,8 +103,7 @@ def _ivf_scan_grouped(q, qmap, blocks, block_ids, k: int, metric: Metric,
     B = q.shape[0]
 
     def step(_, inp):
-        block_flat, bids, qrow = inp               # [cap*dim], [cap], [Qmax]
-        block = block_flat.reshape(cap, dim)
+        block, bids, qrow = inp                    # [cap, dim], [cap], [Qmax]
         qv = jnp.take(q, jnp.minimum(qrow, B - 1), axis=0)   # [Qmax, d]
         ip = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -141,8 +140,7 @@ def _ivf_scan_grouped_i8(q_i8, qmap, blocks, block_ids, k: int,
     B = q_i8.shape[0]
 
     def step(_, inp):
-        block_flat, bids, qrow = inp
-        block = block_flat.reshape(cap, dim)
+        block, bids, qrow = inp
         qv = jnp.take(q_i8, jnp.minimum(qrow, B - 1), axis=0)
         s32 = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
@@ -210,7 +208,7 @@ def _ivf_search(q, centroids, blocks, block_ids, k: int, nprobe: int,
     def probe(carry, j):
         best_d, best_i = carry
         cid = top_c[:, j]                                   # [B]
-        block = jnp.take(blocks, cid, axis=0).reshape(B, cap, dim)
+        block = jnp.take(blocks, cid, axis=0)               # [B, cap, dim]
         bids = jnp.take(block_ids, cid, axis=0)             # [B, cap]
         ip = jnp.einsum("bd,bcd->bc", q, block,
                         preferred_element_type=jnp.float32)
@@ -287,23 +285,27 @@ def _kmeans(x_dev, n_clusters: int, metric: Metric, iters: int,
     rng = np.random.default_rng(seed)
     centroids = np.array(x_dev[rng.choice(n, n_clusters, replace=False)],
                          copy=True)
-    @partial(jax.jit, static_argnames=("nc",))
-    def _accum(x, assign, nc):
-        sums = jax.ops.segment_sum(x, assign, num_segments=nc)
-        counts = jax.ops.segment_sum(
+    @partial(jax.jit, static_argnames=("nc",), donate_argnums=(2, 3))
+    def _accum(x, assign, sums, counts, nc):
+        # accumulate ON DEVICE: downloading per-chunk partial sums cost
+        # ~7 MB x chunks x iters through the ~5 MB/s tunnel (measured
+        # 19 min of a 50M streamed build); now one download per iter
+        sums = sums + jax.ops.segment_sum(x, assign, num_segments=nc)
+        counts = counts + jax.ops.segment_sum(
             jnp.ones((x.shape[0],), jnp.float32), assign, num_segments=nc)
         return sums, counts
 
     for _ in range(iters):
         c_dev = jnp.asarray(centroids)
-        sums = np.zeros((n_clusters, d), np.float64)
-        counts = np.zeros(n_clusters, np.float64)
+        sums_d = jnp.zeros((n_clusters, d), jnp.float32)
+        counts_d = jnp.zeros((n_clusters,), jnp.float32)
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             a = _assign(x_dev[s:e], c_dev, metric)
-            sm, ct = _accum(x_dev[s:e], a, n_clusters)
-            sums += np.asarray(sm, np.float64)
-            counts += np.asarray(ct, np.float64)
+            sums_d, counts_d = _accum(x_dev[s:e], a, sums_d, counts_d,
+                                      n_clusters)
+        sums = np.asarray(sums_d, np.float64)
+        counts = np.asarray(counts_d, np.float64)
         nonempty = counts > 0
         centroids[nonempty] = (sums[nonempty]
                                / counts[nonempty, None]).astype(np.float32)
@@ -373,10 +375,10 @@ class IVFIndex:
             self.gscale = float(127.0 / max(np.abs(blocks).max(), 1e-30))
             self.blocks = jnp.asarray(
                 np.clip(np.rint(blocks * self.gscale), -127, 127)
-                .astype(np.int8).reshape(nc, cap * dim))
+                .astype(np.int8))
         elif store == "f32":
             self.gscale = 1.0
-            self.blocks = jnp.asarray(blocks.reshape(nc, cap * dim))
+            self.blocks = jnp.asarray(blocks)
         else:
             raise ValueError(f"unknown store={store!r}")
         self.block_ids = jnp.asarray(ids)
@@ -396,7 +398,7 @@ class IVFIndex:
         The 50M-scale path: the corpus never exists as one host array —
         shards are generated/loaded, assigned, quantized, and scattered
         into `blocks` ON DEVICE (scripts/bench_50m.py), then handed
-        here. `blocks` is [nc, cap*dim] (int8 or f32), `block_ids`
+        here. `blocks` is [nc, cap, dim] (int8 or f32), `block_ids`
         [nc, cap] with sentinel >= n_base in padding slots, `gscale`
         the global quantization scale (int8 blocks = gscale * f32 rows).
         """
@@ -404,11 +406,11 @@ class IVFIndex:
         self.metric = Metric.parse(metric)
         blocks = jnp.asarray(blocks)
         block_ids = jnp.asarray(block_ids)
-        nc, capdim = blocks.shape
-        dim = centroids.shape[1]
+        nc, cap, dim = blocks.shape
+        assert dim == centroids.shape[1]
         self.n_base = int(n_base)
         self.n_clusters = nc
-        self.cap = capdim // dim
+        self.cap = cap
         self.centroids = jnp.asarray(centroids)
         self.store = "int8" if blocks.dtype == jnp.int8 else "f32"
         if self.store == "int8" and self.metric not in (Metric.IP,
@@ -537,14 +539,12 @@ class IVFIndex:
         }
 
 @partial(jax.jit, donate_argnums=(0,))
-def _scatter_rows(tbl, slot, rows):
-    return tbl.at[slot].set(rows, mode="drop")
-
-
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("rows", "cols"))
-def _reshape_2d(x, rows: int, cols: int):
-    # donated: XLA aliases the buffer — no 6.4 GB copy at 50M
-    return x.reshape(rows, cols)
+def _scatter_rows2(tbl, cl, pos, rows):
+    # row-granular scatter into the 3D block table, in place (donated,
+    # shape-preserving — no relayout, no transient second table; an
+    # earlier flat-table + reshape variant left the heap so churned that
+    # the first ~100 MB search alloc RESOURCE_EXHAUSTED at 50M)
+    return tbl.at[cl, pos].set(rows, mode="drop")
 
 
 def build_ivf_streaming(tile_fn, n: int, dim: int, *,
@@ -601,6 +601,8 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
             _, ii = exact_knn_device(
                 jax.lax.dynamic_slice_in_dim(rows, ss, w, 0),
                 c_dev, k=kk, metric=metric, tile=nc)
+            if nc < 2 ** 15:  # halve the tunnel download (~5 MB/s)
+                ii = ii.astype(jnp.int16)
             cand[st + ss: st + ss + w] = np.asarray(ii)
         gmax = max(gmax, float(jnp.max(jnp.abs(rows))))
     cap0 = int(np.ceil(n / nc * cap_factor))
@@ -613,21 +615,19 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
               f"{time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
 
-    flat_slot = slot_cluster.astype(np.int64) * cap + slot_pos
-    tbl = jnp.zeros((nc * cap, dim), jnp.int8)
-    ids_flat = jnp.full((nc * cap,), n, jnp.int32)
+    slot_pos32 = slot_pos.astype(np.int32)
+    tbl = jnp.zeros((nc, cap, dim), jnp.int8)
+    block_ids = np.full((nc, cap), n, np.int32)
+    block_ids[slot_cluster, slot_pos32] = np.arange(n, dtype=np.int32)
     for s in range(0, n, tile):
         st = min(s, n - tile)
         rows = tile_fn(st, tile)
         q8 = jnp.clip(jnp.rint(rows * gscale), -127, 127).astype(jnp.int8)
-        slot = jnp.asarray(flat_slot[st: st + tile])
-        tbl = _scatter_rows(tbl, slot, q8)
-        ids_flat = _scatter_rows(ids_flat, slot,
-                                 jnp.arange(st, st + tile, dtype=jnp.int32))
-    blocks = _reshape_2d(tbl, nc, cap * dim)
-    block_ids = _reshape_2d(ids_flat, nc, cap)
-    idx = IVFIndex.from_parts(c_dev, blocks, block_ids, n_base=n,
-                              metric=metric, gscale=gscale)
+        tbl = _scatter_rows2(tbl,
+                             jnp.asarray(slot_cluster[st: st + tile]),
+                             jnp.asarray(slot_pos32[st: st + tile]), q8)
+    idx = IVFIndex.from_parts(c_dev, tbl, jnp.asarray(block_ids),
+                              n_base=n, metric=metric, gscale=gscale)
     if verbose:
         print(f"ivf-streaming: built in {time.perf_counter() - t0:.1f}s",
               flush=True)

@@ -60,7 +60,7 @@ class ShardedIVF:
         blocks, bids, cents = idx.blocks, idx.block_ids, idx.centroids
         if pad:
             blocks = jnp.concatenate(
-                [blocks, jnp.zeros((pad, blocks.shape[1]), blocks.dtype)])
+                [blocks, jnp.zeros((pad,) + blocks.shape[1:], blocks.dtype)])
             bids = jnp.concatenate(
                 [bids, jnp.full((pad, self.cap), self.n_base, jnp.int32)])
             # padded centroids are masked in the probe selection, their
@@ -68,7 +68,7 @@ class ShardedIVF:
             cents = jnp.concatenate(
                 [cents, jnp.zeros((pad, self.dim), cents.dtype)])
         self.blocks = jax.device_put(
-            blocks, NamedSharding(mesh, P("mp", None)))
+            blocks, NamedSharding(mesh, P("mp", None, None)))
         self.block_ids = jax.device_put(
             bids, NamedSharding(mesh, P("mp", None)))
         self.centroids = jax.device_put(cents, NamedSharding(mesh, P()))
@@ -145,7 +145,7 @@ def _sharded_ivf_fn(mesh, k, nprobe, metric, store, cap, dim, n_base,
 
     fn = jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P("dp", None), P(), P("mp", None), P("mp", None)),
+        in_specs=(P("dp", None), P(), P("mp", None, None), P("mp", None)),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False))  # post-all_gather merge is mp-replicated
     _FN_CACHE[key] = fn
