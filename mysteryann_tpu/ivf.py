@@ -299,11 +299,15 @@ def _kmeans(x_dev, n_clusters: int, metric: Metric, iters: int,
         c_dev = jnp.asarray(centroids)
         sums_d = jnp.zeros((n_clusters, d), jnp.float32)
         counts_d = jnp.zeros((n_clusters,), jnp.float32)
-        for s in range(0, n, chunk):
+        for ci, s in enumerate(range(0, n, chunk)):
             e = min(s + chunk, n)
             a = _assign(x_dev[s:e], c_dev, metric)
             sums_d, counts_d = _accum(x_dev[s:e], a, sums_d, counts_d,
                                       n_clusters)
+            # fence: each chunk materializes a [chunk, nc] distance
+            # block (7.4 GB at nc=14k); two queued chunks would not fit
+            # next to an ~8 GB block table. ~30 ms/chunk, noise overall.
+            np.asarray(counts_d[0])
         sums = np.asarray(sums_d, np.float64)
         counts = np.asarray(counts_d, np.float64)
         nonempty = counts > 0
@@ -539,12 +543,16 @@ class IVFIndex:
         }
 
 @partial(jax.jit, donate_argnums=(0,))
-def _scatter_rows2(tbl, cl, pos, rows):
-    # row-granular scatter into the 3D block table, in place (donated,
-    # shape-preserving — no relayout, no transient second table; an
-    # earlier flat-table + reshape variant left the heap so churned that
-    # the first ~100 MB search alloc RESOURCE_EXHAUSTED at 50M)
-    return tbl.at[cl, pos].set(rows, mode="drop")
+def _quantize_scatter(tbl, cl, pos, rows, gscale):
+    # fused quantize + row-granular scatter into the 3D block table, in
+    # place (donated, shape-preserving — no relayout, no transient
+    # second table; an earlier flat-table + reshape variant left the
+    # heap so churned that the first ~100 MB search alloc
+    # RESOURCE_EXHAUSTED at 50M). Fused in one jit so the eager
+    # rint/clip/astype chain doesn't stack three tile-sized f32
+    # temporaries per in-flight iteration.
+    q8 = jnp.clip(jnp.rint(rows * gscale), -127, 127).astype(jnp.int8)
+    return tbl.at[cl, pos].set(q8, mode="drop")
 
 
 def build_ivf_streaming(tile_fn, n: int, dim: int, *,
@@ -619,13 +627,18 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
     tbl = jnp.zeros((nc, cap, dim), jnp.int8)
     block_ids = np.full((nc, cap), n, np.int32)
     block_ids[slot_cluster, slot_pos32] = np.arange(n, dtype=np.int32)
-    for s in range(0, n, tile):
+    for it, s in enumerate(range(0, n, tile)):
         st = min(s, n - tile)
         rows = tile_fn(st, tile)
-        q8 = jnp.clip(jnp.rint(rows * gscale), -127, 127).astype(jnp.int8)
-        tbl = _scatter_rows2(tbl,
-                             jnp.asarray(slot_cluster[st: st + tile]),
-                             jnp.asarray(slot_pos32[st: st + tile]), q8)
+        tbl = _quantize_scatter(tbl,
+                                jnp.asarray(slot_cluster[st: st + tile]),
+                                jnp.asarray(slot_pos32[st: st + tile]),
+                                rows, gscale)
+        if it % 4 == 3:
+            # bound in-flight tiles: with the ~8 GB table resident, a few
+            # queued 0.6 GB generate+scatter iterations exhaust HBM. A
+            # tiny readback is the only reliable fence on this rig.
+            np.asarray(tbl[0, 0, 0])
     idx = IVFIndex.from_parts(c_dev, tbl, jnp.asarray(block_ids),
                               n_base=n, metric=metric, gscale=gscale)
     if verbose:

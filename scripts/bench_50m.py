@@ -171,8 +171,11 @@ def main():
     log("== flat-int8 streamed build ==")
 
     @partial(jax.jit, donate_argnums=(0,))
-    def fill(tbl, rows_i8, start):
-        return jax.lax.dynamic_update_slice_in_dim(tbl, rows_i8, start, 0)
+    def fill(tbl, rows, start, gscale):
+        # fused quantize+store: an eager rint/clip chain would stack
+        # tile-sized f32 temporaries next to the 6.4 GB table
+        r8 = jnp.clip(jnp.rint(rows * gscale), -127, 127).astype(jnp.int8)
+        return jax.lax.dynamic_update_slice_in_dim(tbl, r8, start, 0)
 
     t0 = time.time()
     gmax = 0.0
@@ -181,12 +184,12 @@ def main():
         gmax = max(gmax, float(jnp.max(jnp.abs(spec.base_tile(st, tile)))))
     gscale = 127.0 / max(gmax, 1e-30)
     tbl = jnp.zeros((n, DIM), jnp.int8)
-    for s in range(0, n, tile):          # pass 2: quantize + fill
+    for it, s in enumerate(range(0, n, tile)):   # pass 2: quantize + fill
         st = min(s, n - tile)
-        r8 = jnp.clip(jnp.rint(spec.base_tile(st, tile) * gscale),
-                      -127, 127).astype(jnp.int8)
-        tbl = fill(tbl, r8, st)
-    tbl.block_until_ready()
+        tbl = fill(tbl, spec.base_tile(st, tile), st, gscale)
+        if it % 4 == 3:
+            np.asarray(tbl[0, 0])        # bound in-flight tiles
+    np.asarray(tbl[0, 0])
     flat_build_s = round(time.time() - t0, 1)
     log(f"flat-int8 table in {flat_build_s}s")
 
