@@ -544,15 +544,23 @@ class IVFIndex:
 
 @partial(jax.jit, donate_argnums=(0,))
 def _quantize_scatter(tbl, cl, pos, rows, gscale):
-    # fused quantize + row-granular scatter into the 3D block table, in
-    # place (donated, shape-preserving — no relayout, no transient
-    # second table; an earlier flat-table + reshape variant left the
-    # heap so churned that the first ~100 MB search alloc
-    # RESOURCE_EXHAUSTED at 50M). Fused in one jit so the eager
-    # rint/clip/astype chain doesn't stack three tile-sized f32
-    # temporaries per in-flight iteration.
+    # fused quantize + row-granular scatter into the 3D block table.
+    # Donated and unique-indexed, but XLA:TPU still lowers this scatter
+    # with a full-table HLO temp (measured: 7.75G temp next to the 8.3G
+    # argument -> compile-time OOM at 50M) — so this path is only for
+    # sub-HBM/2 tables; the 50M regime uses the stripe fill below.
     q8 = jnp.clip(jnp.rint(rows * gscale), -127, 127).astype(jnp.int8)
-    return tbl.at[cl, pos].set(q8, mode="drop")
+    return tbl.at[cl, pos].set(q8, mode="drop", unique_indices=True)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("cs", "cap", "dim"))
+def _quantize_stripe(tbl, rows, gscale, c0, cs: int, cap: int, dim: int):
+    # quantize a stripe of `cs` whole clusters and store it with a
+    # dynamic-update-slice: XLA updates the donated table IN PLACE (no
+    # full-table temp, unlike scatter — see _quantize_scatter)
+    q8 = jnp.clip(jnp.rint(rows * gscale), -127, 127).astype(jnp.int8)
+    return jax.lax.dynamic_update_slice_in_dim(
+        tbl, q8.reshape(cs, cap, dim), c0, axis=0)
 
 
 def build_ivf_streaming(tile_fn, n: int, dim: int, *,
@@ -561,6 +569,7 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
                         kmeans_iters: int = 8,
                         kmeans_sample: int = 2_000_000,
                         tile: int = 1 << 20, seed: int = 0,
+                        rows_fn=None,
                         verbose: bool = False) -> "IVFIndex":
     """Build an int8 IVF index WITHOUT a host or f32-resident corpus.
 
@@ -574,7 +583,13 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
 
     Tiles are read with clamped full-width windows (one compiled shape);
     `tile_fn` must be deterministic per (start,size) — overlapping rows
-    are recomputed, and re-scattered values must agree.
+    are recomputed, and re-stored values must agree.
+
+    ``rows_fn(ids int32 [T]) -> f32 [T, dim]`` (random access by id —
+    `CrossModalDeviceSpec.rows`, an mmap'd fbin gather, ...) enables the
+    destination-ordered stripe fill, REQUIRED once the block table
+    exceeds ~HBM/2: the slot scatter's XLA lowering needs a full-table
+    temp, while the stripe fill's dynamic-update-slice runs in place.
     """
     metric = Metric.parse(metric)
     if metric not in (Metric.IP, Metric.COSINE):
@@ -627,18 +642,34 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
     tbl = jnp.zeros((nc, cap, dim), jnp.int8)
     block_ids = np.full((nc, cap), n, np.int32)
     block_ids[slot_cluster, slot_pos32] = np.arange(n, dtype=np.int32)
-    for it, s in enumerate(range(0, n, tile)):
-        st = min(s, n - tile)
-        rows = tile_fn(st, tile)
-        tbl = _quantize_scatter(tbl,
-                                jnp.asarray(slot_cluster[st: st + tile]),
-                                jnp.asarray(slot_pos32[st: st + tile]),
-                                rows, gscale)
-        if it % 4 == 3:
-            # bound in-flight tiles: with the ~8 GB table resident, a few
-            # queued 0.6 GB generate+scatter iterations exhaust HBM. A
-            # tiny readback is the only reliable fence on this rig.
-            np.asarray(tbl[0, 0, 0])
+    if rows_fn is not None:
+        # destination-ordered stripe fill: walk clusters in contiguous
+        # stripes, generate each stripe's member rows BY ID, store with
+        # an in-place dynamic-update-slice. Sentinel (empty) slots get a
+        # clamped row — block_ids >= n masks them at search.
+        fill_ids = np.minimum(block_ids, n - 1).astype(np.int32)
+        cs = min(nc, max(1, tile // cap))
+        for it, c in enumerate(range(0, nc, cs)):
+            c0 = min(c, nc - cs) if nc >= cs else 0   # one compiled shape
+            ids_dev = jnp.asarray(fill_ids[c0: c0 + cs].reshape(-1))
+            tbl = _quantize_stripe(tbl, rows_fn(ids_dev), gscale,
+                                   jnp.asarray(c0, jnp.int32),
+                                   cs=cs, cap=cap, dim=dim)
+            if it % 4 == 3:
+                # bound in-flight stripes: queued 0.6 GB generate+store
+                # iterations next to the ~8 GB table exhaust HBM. A tiny
+                # readback is the only reliable fence on this rig.
+                np.asarray(tbl[0, 0, 0])
+    else:
+        for it, s in enumerate(range(0, n, tile)):
+            st = min(s, n - tile)
+            rows = tile_fn(st, tile)
+            tbl = _quantize_scatter(tbl,
+                                    jnp.asarray(slot_cluster[st: st + tile]),
+                                    jnp.asarray(slot_pos32[st: st + tile]),
+                                    rows, gscale)
+            if it % 4 == 3:
+                np.asarray(tbl[0, 0, 0])
     idx = IVFIndex.from_parts(c_dev, tbl, jnp.asarray(block_ids),
                               n_base=n, metric=metric, gscale=gscale)
     if verbose:

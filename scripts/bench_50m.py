@@ -153,7 +153,8 @@ def main():
     log("== ivf-int8 streamed build ==")
     t0 = time.time()
     idx = build_ivf_streaming(spec.base_tile, n, DIM, metric="ip",
-                              tile=tile, seed=SEED, verbose=True)
+                              tile=tile, seed=SEED, rows_fn=spec.rows,
+                              verbose=True)
     ivf_build_s = round(time.time() - t0, 1)
 
     def ivf_search(qs, nprobe):

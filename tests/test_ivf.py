@@ -122,3 +122,17 @@ def test_ivf_streaming_build(world):
     out, _ = idx.search(q, k=10, nprobe=32, query_batch=500)
     r = compute_recall(out, gt, 10)
     assert r > 0.90, f"streamed int8 recall {r}"
+
+    # the destination-ordered stripe fill (rows_fn path, the >HBM/2
+    # regime's layout) must place exactly the same bytes
+    idx2 = build_ivf_streaming(tile_fn, base.shape[0], base.shape[1],
+                               metric="ip", n_clusters=128,
+                               kmeans_iters=5, kmeans_sample=base.shape[0],
+                               tile=4096,
+                               rows_fn=lambda i: jnp.take(base_dev, i,
+                                                          axis=0))
+    np.testing.assert_array_equal(np.asarray(idx.block_ids),
+                                  np.asarray(idx2.block_ids))
+    occ = ids < idx.n_base  # sentinel slots differ by design (zeros
+    np.testing.assert_array_equal(  # vs clamped filler rows) — masked
+        np.asarray(idx.blocks)[occ], np.asarray(idx2.blocks)[occ])
