@@ -77,7 +77,6 @@ def main():
 
     spec = CrossModalDeviceSpec(DIM, metric="ip", seed=SEED)
     tile = min(args.tile, n)
-    qb = args.query_batch
     eval_q = spec.rows(jnp.arange(N_EVAL, dtype=jnp.int32), query_side=True)
     eval_q = jax.device_put(eval_q)
 
@@ -127,8 +126,9 @@ def main():
         neg, pos = jax.lax.top_k(-dist, k)
         return jnp.take_along_axis(ids, pos, axis=1), -neg
 
-    def bench(search_fn, label):
+    def bench(search_fn, label, qb=None):
         """Device-timed loop over all eval batches; returns row dict."""
+        qb = qb or args.query_batch
         outs = [search_fn(jax.lax.dynamic_slice_in_dim(eval_q, 0, qb))]
         fence(outs[0])                                  # warmup + compile
         outs = []
@@ -162,7 +162,13 @@ def main():
         return regen_rerank(qs, ids, vals, K)
 
     for p in args.nprobes:
-        r = bench(lambda qs, p=p: ivf_search(qs, p), f"ivf_i8_p{p}")
+        # bound the grouped scan's stacked [nc, qmax, kk] candidate
+        # tensor (~1.5 GB) next to the 8.3 GB table: qmax grows with
+        # B*nprobe, so shrink the batch as nprobe grows
+        qb_p = max(256, min(args.query_batch,
+                            args.query_batch * 64 // max(p, 64)))
+        r = bench(lambda qs, p=p: ivf_search(qs, p), f"ivf_i8_p{p}",
+                  qb=qb_p)
         r["nprobe"] = p
         rows.append(r)
     waste = idx.n_clusters * idx.cap / n
