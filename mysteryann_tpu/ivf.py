@@ -99,11 +99,18 @@ def _ivf_scan_grouped(q, qmap, blocks, block_ids, k: int, metric: Metric,
     no per-query private gathers; the cluster block is read once.
 
     Returns per-(cluster, slot) candidates: ids/dists [nc, Qmax, k].
+
+    The loop scans CLUSTER INDICES, indexing the (loop-invariant) block
+    table dynamically — passing `blocks` itself as scan xs makes XLA
+    copy the whole table into the while loop's buffer (measured: a
+    7.75G `copy(blocks)` HLO temp -> compile OOM at 50M).
     """
     B = q.shape[0]
 
-    def step(_, inp):
-        block, bids, qrow = inp                    # [cap, dim], [cap], [Qmax]
+    def step(_, c):
+        block = jax.lax.dynamic_index_in_dim(blocks, c, 0, keepdims=False)
+        bids = jax.lax.dynamic_index_in_dim(block_ids, c, 0, keepdims=False)
+        qrow = jax.lax.dynamic_index_in_dim(qmap, c, 0, keepdims=False)
         qv = jnp.take(q, jnp.minimum(qrow, B - 1), axis=0)   # [Qmax, d]
         ip = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -124,7 +131,9 @@ def _ivf_scan_grouped(q, qmap, blocks, block_ids, k: int, metric: Metric,
                           constant_values=n_base)
         return None, (ids, vals)
 
-    _, (ids, vals) = jax.lax.scan(step, None, (blocks, block_ids, qmap))
+    nc = blocks.shape[0]
+    _, (ids, vals) = jax.lax.scan(step, None,
+                                  jnp.arange(nc, dtype=jnp.int32))
     return ids, vals                               # [nc, Qmax, k]
 
 
@@ -136,11 +145,15 @@ def _ivf_scan_grouped_i8(q_i8, qmap, blocks, block_ids, k: int,
     order-preserving per query, so ranking needs no dequantization. The
     returned "distances" are raw -s32 in each query's own scale — valid
     for per-query merging, NOT comparable across queries; callers rerank
-    (or rescale by q_scale * g_scale) for reportable distances."""
+    (or rescale by q_scale * g_scale) for reportable distances.
+
+    Scans cluster indices, not the table itself — see _ivf_scan_grouped."""
     B = q_i8.shape[0]
 
-    def step(_, inp):
-        block, bids, qrow = inp
+    def step(_, c):
+        block = jax.lax.dynamic_index_in_dim(blocks, c, 0, keepdims=False)
+        bids = jax.lax.dynamic_index_in_dim(block_ids, c, 0, keepdims=False)
+        qrow = jax.lax.dynamic_index_in_dim(qmap, c, 0, keepdims=False)
         qv = jnp.take(q_i8, jnp.minimum(qrow, B - 1), axis=0)
         s32 = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
@@ -156,7 +169,9 @@ def _ivf_scan_grouped_i8(q_i8, qmap, blocks, block_ids, k: int,
                           constant_values=n_base)
         return None, (ids, vals)
 
-    _, (ids, vals) = jax.lax.scan(step, None, (blocks, block_ids, qmap))
+    nc = blocks.shape[0]
+    _, (ids, vals) = jax.lax.scan(step, None,
+                                  jnp.arange(nc, dtype=jnp.int32))
     return ids, vals
 
 

@@ -213,17 +213,20 @@ def int8_global_knn_device(
     best = (jnp.full((B, k), _INF, jnp.float32),
             jnp.full((B, k), -1, jnp.int32))
     if n_full:
-        def step(carry, inp):
-            tile_b, t_idx = inp
+        # scan TILE INDICES and slice the loop-invariant table — tiling
+        # the table itself as scan xs makes XLA copy the whole thing
+        # into the loop buffer (2x table HBM; fatal at 50M)
+        def step(carry, t_idx):
+            tile_b = jax.lax.dynamic_slice_in_dim(
+                base_i8, t_idx * tile, tile, 0)
             s32 = jax.lax.dot_general(
                 q_i8, tile_b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
             t_d, t_pos = jax.lax.approx_min_k(-s32.astype(jnp.float32), k=kk)
             return merge(carry, t_d,
                          t_pos.astype(jnp.int32) + t_idx * tile), None
-        best, _ = jax.lax.scan(
-            step, best, (base_i8[: n_full * tile].reshape(n_full, tile, d),
-                         jnp.arange(n_full, dtype=jnp.int32)))
+        best, _ = jax.lax.scan(step, best,
+                               jnp.arange(n_full, dtype=jnp.int32))
     if rem:
         s32 = jax.lax.dot_general(
             q_i8, base_i8[n_full * tile:], (((1,), (1,)), ((), ())),
