@@ -91,50 +91,76 @@ def _ivf_group(top_c, nc: int, qmax: int):
     return qmap, slots.reshape(B, p, 2), valid.reshape(B, p)
 
 
+def _grouped_scan_core(q, qmap, blocks, block_ids, k: int, cap: int,
+                       n_base: int, dist_fn):
+    """Shared chunked cluster-major scan (see the public wrappers below).
+
+    Scans CHUNKS of clusters; each step fetches its chunk's blocks with
+    the pallas DMA gather (`ops.gather.gather_rows` — the table stays in
+    ANY/HBM space and is never copied) and runs ONE batched MXU matmul
+    over every (cluster, probe-slot) pair in the chunk. Earlier designs
+    lost to XLA's while-loop handling of the table operand: both scan-xs
+    and in-loop dynamic-slice/gather reads of `blocks` make XLA copy the
+    FULL table into the loop buffer (measured: a 7.75G `copy(blocks)`
+    HLO temp -> compile OOM at 50M). The pallas call reads it in place —
+    the same pattern as the fused search engine's byte-table.
+    """
+    from mysteryann_tpu.ops.gather import gather_rows
+
+    B, qmax = q.shape[0], qmap.shape[1]
+    nc = blocks.shape[0]
+    kk = min(k, cap)
+    # chunk size: bound the [C, qmax, cap] s32 score block to ~150-300 MB
+    C = max(1, min(nc, 64, 8192 // max(1, qmax)))
+    ncp = -(-nc // C) * C
+    cidx = jnp.minimum(jnp.arange(ncp, dtype=jnp.int32),
+                       nc - 1).reshape(-1, C)
+
+    def step(_, cs):                                     # cs [C]
+        blk = gather_rows(blocks, cs, block=min(8, C))   # [C, cap, d]
+        bids = jnp.take(block_ids, cs, axis=0)           # [C, cap]
+        qrow = jnp.take(qmap, cs, axis=0)                # [C, qmax]
+        qv = jnp.take(q, jnp.minimum(qrow, B - 1).reshape(-1),
+                      axis=0).reshape(C, qmax, -1)       # [C, qmax, d]
+        dist = dist_fn(qv, blk)                          # [C, qmax, cap]
+        dist = jnp.where(bids[:, None, :] < n_base, dist, jnp.inf)
+        vals, pos = jax.lax.approx_min_k(
+            dist.reshape(C * qmax, cap), k=kk)
+        bexp = jnp.broadcast_to(bids[:, None, :], (C, qmax, cap))
+        ids = jnp.take_along_axis(bexp.reshape(C * qmax, cap), pos, axis=1)
+        return None, (ids.reshape(C, qmax, kk), vals.reshape(C, qmax, kk))
+
+    _, (ids, vals) = jax.lax.scan(step, None, cidx)
+    ids = ids.reshape(ncp, qmax, kk)[:nc]
+    vals = vals.reshape(ncp, qmax, kk)[:nc]
+    if k > cap:  # degenerate tiny clusters
+        padw = k - cap
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, padw)),
+                       constant_values=jnp.inf)
+        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, padw)),
+                      constant_values=n_base)
+    return ids, vals                                     # [nc, Qmax, k]
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "cap", "dim", "n_base"))
 def _ivf_scan_grouped(q, qmap, blocks, block_ids, k: int, metric: Metric,
                       cap: int, dim: int, n_base: int):
-    """Cluster-major scan: one MXU matmul per cluster over the queries that
-    probe it (`qmap` [nc, Qmax], sentinel = B). Work is compute-shared —
-    no per-query private gathers; the cluster block is read once.
-
-    Returns per-(cluster, slot) candidates: ids/dists [nc, Qmax, k].
-
-    The loop scans CLUSTER INDICES, indexing the (loop-invariant) block
-    table dynamically — passing `blocks` itself as scan xs makes XLA
-    copy the whole table into the while loop's buffer (measured: a
-    7.75G `copy(blocks)` HLO temp -> compile OOM at 50M).
-    """
-    B = q.shape[0]
-
-    def step(_, c):
-        block = jax.lax.dynamic_index_in_dim(blocks, c, 0, keepdims=False)
-        bids = jax.lax.dynamic_index_in_dim(block_ids, c, 0, keepdims=False)
-        qrow = jax.lax.dynamic_index_in_dim(qmap, c, 0, keepdims=False)
-        qv = jnp.take(q, jnp.minimum(qrow, B - 1), axis=0)   # [Qmax, d]
-        ip = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
+    """Cluster-major scan: batched MXU matmuls over the queries that
+    probe each cluster (`qmap` [nc, Qmax], sentinel = B). Work is
+    compute-shared — no per-query private gathers; each cluster block is
+    read once per batch. Returns per-(cluster, slot) candidates:
+    ids/dists [nc, Qmax, k]."""
+    def dist_fn(qv, blk):
+        ip = jax.lax.dot_general(qv, blk, (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         if metric in (Metric.IP, Metric.COSINE):
-            dist = -ip
-        else:
-            qn = jnp.sum(qv * qv, axis=1, keepdims=True)
-            bn = jnp.sum(block * block, axis=1)
-            dist = qn - 2.0 * ip + bn[None, :]
-        dist = jnp.where(bids[None, :] < n_base, dist, jnp.inf)
-        vals, pos = jax.lax.approx_min_k(dist, k=min(k, cap))
-        ids = jnp.take(bids, pos)                            # [Qmax, k']
-        if k > cap:  # degenerate tiny clusters
-            padw = k - cap
-            vals = jnp.pad(vals, ((0, 0), (0, padw)),
-                           constant_values=jnp.inf)
-            ids = jnp.pad(ids, ((0, 0), (0, padw)),
-                          constant_values=n_base)
-        return None, (ids, vals)
+            return -ip
+        qn = jnp.sum(qv * qv, axis=2, keepdims=True)
+        bn = jnp.sum(blk * blk, axis=2)
+        return qn - 2.0 * ip + bn[:, None, :]
 
-    nc = blocks.shape[0]
-    _, (ids, vals) = jax.lax.scan(step, None,
-                                  jnp.arange(nc, dtype=jnp.int32))
-    return ids, vals                               # [nc, Qmax, k]
+    return _grouped_scan_core(q, qmap, blocks, block_ids, k, cap, n_base,
+                              dist_fn)
 
 
 @partial(jax.jit, static_argnames=("k", "cap", "dim", "n_base"))
@@ -145,34 +171,14 @@ def _ivf_scan_grouped_i8(q_i8, qmap, blocks, block_ids, k: int,
     order-preserving per query, so ranking needs no dequantization. The
     returned "distances" are raw -s32 in each query's own scale — valid
     for per-query merging, NOT comparable across queries; callers rerank
-    (or rescale by q_scale * g_scale) for reportable distances.
-
-    Scans cluster indices, not the table itself — see _ivf_scan_grouped."""
-    B = q_i8.shape[0]
-
-    def step(_, c):
-        block = jax.lax.dynamic_index_in_dim(blocks, c, 0, keepdims=False)
-        bids = jax.lax.dynamic_index_in_dim(block_ids, c, 0, keepdims=False)
-        qrow = jax.lax.dynamic_index_in_dim(qmap, c, 0, keepdims=False)
-        qv = jnp.take(q_i8, jnp.minimum(qrow, B - 1), axis=0)
-        s32 = jax.lax.dot_general(qv, block, (((1,), (1,)), ((), ())),
+    (or rescale by q_scale * g_scale) for reportable distances."""
+    def dist_fn(qv, blk):
+        s32 = jax.lax.dot_general(qv, blk, (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.int32)
-        dist = jnp.where(bids[None, :] < n_base,
-                         -s32.astype(jnp.float32), jnp.inf)
-        vals, pos = jax.lax.approx_min_k(dist, k=min(k, cap))
-        ids = jnp.take(bids, pos)
-        if k > cap:  # degenerate tiny clusters
-            padw = k - cap
-            vals = jnp.pad(vals, ((0, 0), (0, padw)),
-                           constant_values=jnp.inf)
-            ids = jnp.pad(ids, ((0, 0), (0, padw)),
-                          constant_values=n_base)
-        return None, (ids, vals)
+        return -s32.astype(jnp.float32)
 
-    nc = blocks.shape[0]
-    _, (ids, vals) = jax.lax.scan(step, None,
-                                  jnp.arange(nc, dtype=jnp.int32))
-    return ids, vals
+    return _grouped_scan_core(q_i8, qmap, blocks, block_ids, k, cap,
+                              n_base, dist_fn)
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -376,6 +382,7 @@ class IVFIndex:
                                      metric=self.metric, tile=nc)
             cand[s:e] = np.asarray(ii)
         slot_cluster, slot_pos, cap = _capacity_place(cand, nc, cap)
+        cap = -(-cap // 32) * 32  # sublane-align rows for the DMA gather
 
         base_np = np.asarray(base_dev)
         blocks = np.zeros((nc, cap, dim), np.float32)
@@ -645,6 +652,7 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
         gmax = max(gmax, float(jnp.max(jnp.abs(rows))))
     cap0 = int(np.ceil(n / nc * cap_factor))
     slot_cluster, slot_pos, cap = _capacity_place(cand, nc, cap0)
+    cap = -(-cap // 32) * 32  # sublane-align rows for the DMA gather
     del cand
     gscale = 127.0 / max(gmax, 1e-30)
     if verbose:
