@@ -117,7 +117,9 @@ def _grouped_scan_core(q, qmap, blocks, block_ids, k: int, cap: int,
                        nc - 1).reshape(-1, C)
 
     def step(_, cs):                                     # cs [C]
-        blk = gather_rows(blocks, cs, block=min(8, C))   # [C, cap, d]
+        # block=32: 32 DMAs in flight per grid step (VMEM out block
+        # 32*cap*dim s8 ~ 19 MB); block=8 measured only ~10 GB/s at 50M
+        blk = gather_rows(blocks, cs, block=min(32, C))  # [C, cap, d]
         bids = jnp.take(block_ids, cs, axis=0)           # [C, cap]
         qrow = jnp.take(qmap, cs, axis=0)                # [C, qmax]
         qv = jnp.take(q, jnp.minimum(qrow, B - 1).reshape(-1),
@@ -454,19 +456,23 @@ class IVFIndex:
                            k=k, nprobe=nprobe, metric=self.metric,
                            cap=self.cap, dim=self.dim, n_base=self.n_base)
 
-    def _search_grouped(self, q, k: int, nprobe: int, rerank: int = 0):
+    def _search_grouped(self, q, k: int, nprobe: int, rerank: int = 0,
+                        slot_budget: int = 4):
         """Cluster-major (query-grouped) probe — the compute-shared path.
 
         The cluster→queries map (`qmap`, width bucketed to a power of
         two for compile reuse) is built ON DEVICE (`_ivf_group`) —
         the earlier host version cost a ~20 MB/batch round trip through
         the ~5 MB/s axon tunnel. Probes beyond a cluster's slot budget
-        are dropped (masked at the merge) — with an 8× average-load
-        budget this affects a negligible tail.
+        are dropped (masked at the merge). ``slot_budget`` multiplies
+        the average per-cluster load into the padded slot width: scan
+        compute is PROPORTIONAL to it, while the drop tail shrinks
+        with it (50M, nprobe=64, budget 4: drops cost ~0.3pt recall vs
+        budget 8 at ~2x the QPS).
         """
         B = q.shape[0]
         avg_load = max(1, B * nprobe // self.n_clusters)
-        qmax = 1 << int(np.ceil(np.log2(8 * avg_load)))
+        qmax = 1 << int(np.ceil(np.log2(slot_budget * avg_load)))
         top_c = _ivf_topc(q, self.centroids, nprobe, self.metric)
         qmap, slots, valid = _ivf_group(top_c, self.n_clusters, qmax)
         kk = max(k, rerank)
@@ -591,7 +597,7 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
                         kmeans_iters: int = 8,
                         kmeans_sample: int = 2_000_000,
                         tile: int = 1 << 20, seed: int = 0,
-                        rows_fn=None,
+                        rows_fn=None, assign_cache: str | None = None,
                         verbose: bool = False) -> "IVFIndex":
     """Build an int8 IVF index WITHOUT a host or f32-resident corpus.
 
@@ -620,40 +626,61 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
     nc = n_clusters or max(16, int(np.sqrt(n) * 2))
     tile = min(tile, n)
 
-    samp = tile_fn(0, min(kmeans_sample, n))  # rows are i.i.d. by design
-    centroids = _kmeans(samp, nc, metric, kmeans_iters, seed)
-    del samp
-    if verbose:
-        print(f"ivf-streaming: kmeans {nc} clusters in "
-              f"{time.perf_counter() - t0:.1f}s",
-              file=sys.stderr, flush=True)
+    import os
+    ck = None
+    if assign_cache:
+        ck = f"{assign_cache}.ivfassign_{n}_{dim}_{nc}_{kmeans_iters}_{seed}.npz"
+    if ck and os.path.exists(ck):
+        # k-means + assignment are ~2/3 of a 50M build (device sweeps +
+        # candidate downloads through the debug tunnel); both are pure
+        # functions of (data, config) — cache the host-side outcome
+        with np.load(ck) as z:
+            centroids, slot_cluster, slot_pos, gmax = (
+                z["centroids"], z["slot_cluster"], z["slot_pos"],
+                float(z["gmax"]))
+        cap = int(slot_pos.max()) + 1
+        c_dev = jnp.asarray(centroids)
+        if verbose:
+            print(f"ivf-streaming: assignment cache hit ({ck})",
+                  file=sys.stderr, flush=True)
+    else:
+        samp = tile_fn(0, min(kmeans_sample, n))  # rows i.i.d. by design
+        centroids = _kmeans(samp, nc, metric, kmeans_iters, seed)
+        del samp
+        if verbose:
+            print(f"ivf-streaming: kmeans {nc} clusters in "
+                  f"{time.perf_counter() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
 
-    from mysteryann_tpu.ops.knn import exact_knn_device
-    kk = min(8, nc)
-    c_dev = jnp.asarray(centroids)
-    cand = np.empty((n, kk), np.int32)
-    gmax = 0.0
-    # the [rows, nc] f32 distance block must stay well under HBM
-    # (nc ~ 14k at 50M -> a full 1M tile would be 59 GB): sub-chunk the
-    # assignment to a power-of-two row count bounded by ~3 GB
-    sub = 1 << max(13, int(np.log2(max(1, (3 << 30) // (4 * nc)))))
-    sub = min(sub, tile)
-    for s in range(0, n, tile):
-        st = min(s, n - tile)
-        rows = tile_fn(st, tile)
-        for ss in range(0, tile, sub):
-            w = min(sub, tile - ss)
-            _, ii = exact_knn_device(
-                jax.lax.dynamic_slice_in_dim(rows, ss, w, 0),
-                c_dev, k=kk, metric=metric, tile=nc)
-            if nc < 2 ** 15:  # halve the tunnel download (~5 MB/s)
-                ii = ii.astype(jnp.int16)
-            cand[st + ss: st + ss + w] = np.asarray(ii)
-        gmax = max(gmax, float(jnp.max(jnp.abs(rows))))
-    cap0 = int(np.ceil(n / nc * cap_factor))
-    slot_cluster, slot_pos, cap = _capacity_place(cand, nc, cap0)
+        from mysteryann_tpu.ops.knn import exact_knn_device
+        kk = min(8, nc)
+        c_dev = jnp.asarray(centroids)
+        cand = np.empty((n, kk), np.int32)
+        gmax = 0.0
+        # the [rows, nc] f32 distance block must stay well under HBM
+        # (nc ~ 14k at 50M -> a full 1M tile would be 59 GB): sub-chunk
+        # the assignment to a power-of-two row count bounded by ~3 GB
+        sub = 1 << max(13, int(np.log2(max(1, (3 << 30) // (4 * nc)))))
+        sub = min(sub, tile)
+        for s in range(0, n, tile):
+            st = min(s, n - tile)
+            rows = tile_fn(st, tile)
+            for ss in range(0, tile, sub):
+                w = min(sub, tile - ss)
+                _, ii = exact_knn_device(
+                    jax.lax.dynamic_slice_in_dim(rows, ss, w, 0),
+                    c_dev, k=kk, metric=metric, tile=nc)
+                if nc < 2 ** 15:  # halve the tunnel download (~5 MB/s)
+                    ii = ii.astype(jnp.int16)
+                cand[st + ss: st + ss + w] = np.asarray(ii)
+            gmax = max(gmax, float(jnp.max(jnp.abs(rows))))
+        cap0 = int(np.ceil(n / nc * cap_factor))
+        slot_cluster, slot_pos, cap = _capacity_place(cand, nc, cap0)
+        del cand
+        if ck:
+            np.savez(ck, centroids=centroids, slot_cluster=slot_cluster,
+                     slot_pos=slot_pos, gmax=gmax)
     cap = -(-cap // 32) * 32  # sublane-align rows for the DMA gather
-    del cand
     gscale = 127.0 / max(gmax, 1e-30)
     if verbose:
         print(f"ivf-streaming: assigned, cap {cap} "

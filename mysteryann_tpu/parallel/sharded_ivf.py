@@ -107,7 +107,7 @@ def _sharded_ivf_fn(mesh, k, nprobe, metric, store, cap, dim, n_base,
     mp = mesh.shape["mp"]
     nc_local = nc_pad // mp
     avg_load = max(1, b_local * nprobe // max(1, nc_local))
-    qmax = 1 << int(np.ceil(np.log2(8 * avg_load)))
+    qmax = 1 << int(np.ceil(np.log2(4 * avg_load)))  # see _search_grouped
 
     def local(q, cents, blocks_l, bids_l):
         # identical on every mp peer: global probe list over REAL clusters

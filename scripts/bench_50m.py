@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--rerank", type=int, default=100)
     ap.add_argument("--nprobes", type=int, nargs="+",
                     default=[32, 64, 128, 256])
+    ap.add_argument("--qb_ivf", type=int, default=4096)
+    ap.add_argument("--slot_budget", type=int, default=4)
+    ap.add_argument("--skip_flat", action="store_true")
     args = ap.parse_args()
     n = args.n_base
     N_EVAL = args.n_eval
@@ -154,19 +157,20 @@ def main():
     t0 = time.time()
     idx = build_ivf_streaming(spec.base_tile, n, DIM, metric="ip",
                               tile=tile, seed=SEED, rows_fn=spec.rows,
+                              assign_cache=os.path.join(CACHE, "synth50m"),
                               verbose=True)
     ivf_build_s = round(time.time() - t0, 1)
 
     def ivf_search(qs, nprobe):
-        ids, vals = idx._search_grouped(qs, k=args.rerank, nprobe=nprobe)
+        ids, vals = idx._search_grouped(qs, k=args.rerank, nprobe=nprobe,
+                                        slot_budget=args.slot_budget)
         return regen_rerank(qs, ids, vals, K)
 
     for p in args.nprobes:
-        # bound the grouped scan's stacked [nc, qmax, kk] candidate
-        # tensor (~1.5 GB) next to the 8.3 GB table: qmax grows with
-        # B*nprobe, so shrink the batch as nprobe grows
-        qb_p = max(256, min(args.query_batch,
-                            args.query_batch * 64 // max(p, 64)))
+        # large batches amortize the whole-table DMA; shrink for large
+        # nprobe to bound the stacked [nc, qmax, kk] candidate tensor
+        # (~1.5 GB) next to the 8.3 GB table
+        qb_p = max(1024, args.qb_ivf * 64 // max(p, 64))
         r = bench(lambda qs, p=p: ivf_search(qs, p), f"ivf_i8_p{p}",
                   qb=qb_p)
         r["nprobe"] = p
@@ -175,6 +179,13 @@ def main():
     idx.free()
 
     # ---- flat int8 (full scan) ---------------------------------------------
+    flat_build_s = None
+    if args.skip_flat:
+        print(json.dumps({"scale": n, "dim": DIM, "n_eval": N_EVAL,
+                          "ivf_build_secs": ivf_build_s,
+                          "ivf_waste": round(waste, 3),
+                          "rerank": args.rerank, "rows": rows}))
+        return
     log("== flat-int8 streamed build ==")
 
     @partial(jax.jit, donate_argnums=(0,))
