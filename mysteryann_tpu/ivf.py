@@ -451,6 +451,40 @@ class IVFIndex:
         self.dim = dim
         return self
 
+    def save(self, path: str) -> None:
+        """Persist the index (uncompressed npz: centroids, blocks,
+        block_ids, scalars). Unlike the graph formats (byte-identical to
+        the reference's, `graph/roargraph.py`), IVF is surface beyond the
+        reference, so the container is our own. The block table is
+        downloaded from device — on a production host that is a PCIe
+        copy; `keep_f32` rerank rows are NOT persisted (they are the
+        corpus itself — reattach via ``load(..., base=...)``)."""
+        np.savez(path,
+                 version=np.int32(1),
+                 centroids=np.asarray(self.centroids),
+                 blocks=np.asarray(self.blocks),
+                 block_ids=np.asarray(self.block_ids),
+                 n_base=np.int64(self.n_base),
+                 metric=np.bytes_(self.metric.name.encode()),
+                 gscale=np.float64(self.gscale))
+
+    @classmethod
+    def load(cls, path: str, base: np.ndarray | None = None) -> "IVFIndex":
+        """Load a saved index; optional `base` re-enables exact-f32
+        rerank (``search(..., rerank=R)``)."""
+        with np.load(path) as z:
+            if int(z["version"]) != 1:
+                raise ValueError(f"unknown IVF index version {z['version']}")
+            metric = Metric.parse(bytes(z["metric"]).decode().lower())
+            self = cls.from_parts(
+                jnp.asarray(z["centroids"]), z["blocks"], z["block_ids"],
+                n_base=int(z["n_base"]), metric=metric,
+                gscale=float(z["gscale"]))
+        if base is not None:
+            self.base_f32 = jnp.asarray(
+                prepare_vectors(np.asarray(base, np.float32), self.metric))
+        return self
+
     def _search_device(self, q, k: int, nprobe: int):
         return _ivf_search(q, self.centroids, self.blocks, self.block_ids,
                            k=k, nprobe=nprobe, metric=self.metric,

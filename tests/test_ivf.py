@@ -99,6 +99,33 @@ def test_ivf_from_parts_roundtrip(world):
     np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
 
 
+@pytest.mark.parametrize("store", ["f32", "int8"])
+def test_ivf_save_load_roundtrip(world, store, tmp_path):
+    base, q, _ = world
+    idx = IVFIndex(base, metric="ip", n_clusters=64, kmeans_iters=3,
+                   store=store, keep_f32=(store == "int8"))
+    path = str(tmp_path / "ivf.npz")
+    idx.save(path)
+    idx2 = IVFIndex.load(path)
+    assert idx2.store == store and idx2.cap == idx.cap
+    assert idx2.n_clusters == idx.n_clusters and idx2.n_base == idx.n_base
+    ids_a, d_a = idx.search(q, k=10, nprobe=8, query_batch=500)
+    ids_b, d_b = idx2.search(q, k=10, nprobe=8, query_batch=500)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    np.testing.assert_allclose(d_a, d_b, rtol=1e-6)
+    if store == "int8":
+        # rerank rows are not persisted; reattaching the corpus restores it
+        with pytest.raises(ValueError):
+            idx2.search(q, k=10, nprobe=8, query_batch=500, rerank=40)
+        idx3 = IVFIndex.load(path, base=base)
+        ids_c, d_c = idx3.search(q, k=10, nprobe=8, query_batch=500,
+                                 rerank=40)
+        ids_r, d_r = idx.search(q, k=10, nprobe=8, query_batch=500,
+                                rerank=40)
+        np.testing.assert_array_equal(ids_c, ids_r)
+        np.testing.assert_allclose(d_c, d_r, rtol=1e-6)
+
+
 def test_ivf_streaming_build(world):
     # streamed int8 build from a device tile function: every id stored
     # once, recall comparable to the in-memory int8 build
