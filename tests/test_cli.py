@@ -120,3 +120,31 @@ def test_build_and_search_bipartite_cli(data_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "QPS" in out
+
+
+def test_build_and_search_ivf_cli(data_dir, capsys):
+    from mysteryann_tpu.cli import build_ivf, search_ivf
+    rc = build_ivf.main([
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--index_save_path", str(data_dir / "ivf.npz"),
+        "--n_clusters", "32", "--kmeans_iters", "3",
+        "--store", "int8", "--dist", "ip",
+    ])
+    assert rc == 0
+    rc = search_ivf.main([
+        "--index_path", str(data_dir / "ivf.npz"),
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--query_path", str(data_dir / "eval.fbin"),
+        "--gt_path", str(data_dir / "gt.bin"),
+        "--k", "10", "--nprobe", "8", "32", "--rerank", "40",
+        "--query_batch", "100",
+        "--csv_path", str(data_dir / "ivf.csv"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "QPS" in out
+    # nprobe=32 of 32 clusters + exact rerank scans everything: recall 1.0
+    last = [ln for ln in out.strip().splitlines() if ln.strip()][-1]
+    assert float(last.split()[4]) > 0.99, out
+    import os
+    assert os.path.exists(data_dir / "ivf.csv")
