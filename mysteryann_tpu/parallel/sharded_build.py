@@ -329,15 +329,33 @@ def sharded_build_roargraph(
             mesh, base_sh, final, ep, cfg, metric, log)
         final = _append_novel(final, supply, cap_add=2 * M, n=n)
         if final.shape[1] > 2 * M:
-            final = np.asarray(sharded_prune_rows(
-                mesh, base_sh, np.arange(n, dtype=np.int32), final, 2 * M,
-                metric, cfg.query_batch, fill=True, n=n))
+            final = _cap_degree_sharded(mesh, base_sh, final, 2 * M,
+                                        metric, cfg.query_batch, n)
 
     # ---- phase E: reachability (host BFS + sharded kNN attach) -----------
     final = _ensure_reachability_sharded(mesh, final, ep, base_sh, metric,
                                          log)
     g = PaddedGraph(neighbors=final, ep=ep)
     return RoarGraphIndex(graph=g, metric=metric, dim=base.shape[1])
+
+
+def _cap_degree_sharded(mesh, base_sh, rows, cap, metric, batch, n):
+    """`graph.roargraph._cap_degree` with the prune routed through the
+    mesh: rows over the cap go through the occlusion prune; rows within
+    it are copied (left-compacted, so width truncation is lossless).
+    Pruning ALL rows instead is NOT equivalent — the occlusion keep-scan
+    can reorder/drop edges of under-cap rows too (caught by
+    tests/test_sharded_build.py::test_sharded_build_two_pass_...)."""
+    deg = (rows < n).sum(axis=1)
+    out = np.full((rows.shape[0], cap), n, np.int32)
+    ok = deg <= cap
+    out[ok] = rows[ok][:, :cap]
+    over = np.nonzero(~ok)[0]
+    if over.size:
+        out[over] = np.asarray(sharded_prune_rows(
+            mesh, base_sh, over.astype(np.int32), rows[over], cap, metric,
+            batch, fill=True, n=n))
+    return out
 
 
 def _edge_dists_sharded(mesh, base_sh, e_src, e_dst, metric,

@@ -105,3 +105,17 @@ def test_sharded_build_matches_single_device(world):
     a, b = got.graph.neighbors, want.graph.neighbors
     assert a.shape == b.shape
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_build_two_pass_matches_single_device(world):
+    # the recommended recipe (connectivity_passes=2, BASELINE.md) must
+    # hold the exactness contract too: the second phase-D sweep re-enters
+    # _append_novel + overflow prune, which the 1-pass test never reaches
+    base, train_q, knn = world
+    mesh = make_mesh(dp=2, mp=4)
+    import dataclasses
+    cfg = dataclasses.replace(CFG, connectivity_passes=2)
+    want = build_roargraph(base, train_q, knn, cfg, verbose=False)
+    got = sharded_build_roargraph(mesh, base, train_q, knn, cfg)
+    assert got.graph.ep == want.graph.ep
+    np.testing.assert_array_equal(got.graph.neighbors, want.graph.neighbors)
