@@ -17,8 +17,14 @@ can be *built*, not just served:
   small) and applied ownership-masked on each shard.
 
 Exactness contract: `sharded_build_roargraph(mesh, ...)` produces the
-same adjacency as `graph.build_roargraph` for identical inputs — pinned
-by tests/test_sharded_build.py. The occlusion keep-scan itself is the
+same adjacency as `graph.build_roargraph` for identical inputs **with
+``connectivity_engine="classic"``** — pinned by
+tests/test_sharded_build.py. Phase D here always searches through the
+distributed classic engine; the fused byte-row engine is a single-chip
+accelerator (its int8 search visits different nodes, so a fused
+single-device build is a different — equally valid — graph).
+``connectivity_engine="fused"`` is rejected; ``"auto"`` resolves to
+classic (unlike single-device auto, which may pick fused). The occlusion keep-scan itself is the
 single-device kernel (graph.prune.batched_occlusion_prune) with only the
 vector gather swapped (`gather_fn`), so agreement holds by construction.
 
@@ -282,6 +288,12 @@ def sharded_build_roargraph(
     mp = mesh.shape["mp"]
     if n % mp:
         raise ValueError(f"N ({n}) must divide mp ({mp})")
+    if cfg.connectivity_engine == "fused":
+        raise ValueError(
+            "sharded build searches phase D via the distributed classic "
+            "engine; use connectivity_engine='classic' (or 'auto', which "
+            "resolves to classic here). The fused byte-row engine is a "
+            "single-chip accelerator — see the module docstring.")
     log = (functools.partial(print, file=sys.stderr, flush=True)
            if verbose else (lambda *a, **k: None))
 

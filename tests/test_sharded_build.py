@@ -119,3 +119,12 @@ def test_sharded_build_two_pass_matches_single_device(world):
     got = sharded_build_roargraph(mesh, base, train_q, knn, cfg)
     assert got.graph.ep == want.graph.ep
     np.testing.assert_array_equal(got.graph.neighbors, want.graph.neighbors)
+
+
+def test_sharded_build_rejects_fused_engine(world):
+    base, train_q, knn = world
+    mesh = make_mesh(dp=2, mp=4)
+    import dataclasses
+    cfg = dataclasses.replace(CFG, connectivity_engine="fused")
+    with pytest.raises(ValueError, match="classic"):
+        sharded_build_roargraph(mesh, base, train_q, knn, cfg)
