@@ -11,17 +11,19 @@ quantization stage (distances stay exact f32; selection uses the hardware
 partial-reduce).
 
 Capability note: the reference has no IVF; this is TPU-native surface
-area beyond it. **Measured reality (BASELINE.md, v5e): the flat MXU scan
-beats this index everywhere it was measured** — at 10M, flat f32 serves
-39.6k QPS @ .984 while IVF needs nprobe=256 to reach .936 at 1.9k QPS
-(per-cluster selection overhead dominates the inner loop; the MXU makes
-the "wasted" full scan nearly free). Treat IVF as scaffolding for
-regimes this rig cannot demonstrate: corpora past ~50M/chip where the
-resident-set economics flip (int8 cluster blocks), and as the coarse
-quantizer family behind seeded graph search (search/seeding.py uses a
-strided sample instead — simpler and measured better). If you need
-sublinear serving at recall ≥.95 today, use the seeded fused graph
-(28k QPS @ .955 at 1M); if the corpus fits HBM, use flat.
+area beyond it. **Measured reality (BASELINE.md, v5e): flat wins at
+≤10M; the first IVF-over-flat crossover is at 50M** — at 10M, flat f32
+serves 39.6k QPS @ .984 while IVF needs nprobe=256 to reach .936 at
+1.9k QPS (per-cluster selection overhead dominates the inner loop; the
+MXU makes the "wasted" full scan nearly free). At 50M — past one chip's
+f32 HBM, int8-resident modes only — streamed ivf-int8 at nprobe=32
+serves 2,374 QPS @ .916 vs the flat int8 scan's 1,775 QPS, the measured
+crossover at the ~.92 recall point; above ~.95 recall flat int8 still
+wins single-chip. IVF is also the coarse-quantizer family behind seeded
+graph search (search/seeding.py uses a strided sample instead — simpler
+and measured better). If you need sublinear serving at recall ≥.95
+today, use the seeded fused graph (28k QPS @ .955 at 1M); if the corpus
+fits HBM, use flat.
 
 Build: Lloyd iterations fully on device (assignment = tiled matmul
 argmin; update = segment means), then a capacity-bounded reassignment so

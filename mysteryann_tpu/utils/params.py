@@ -38,7 +38,9 @@ class BuildConfig:
     # int8 neighbor-block byte rows each round (one DMA per hop — ~8x
     # the classic traversal; the prune still uses exact f32 distances);
     # "classic" traverses f32 vectors directly (no table memory).
-    # "auto" picks fused when the packed table fits the HBM budget.
+    # "auto" picks fused when the packed table fits the HBM budget
+    # (sharded builds resolve "auto" to classic and reject "fused" —
+    # see parallel/sharded_build.py's exactness contract).
     connectivity_engine: str = "auto"
     # number of full phase-D sweeps. The reference does exactly one; a
     # second pass re-searches every node over the COMPLETED graph (the
