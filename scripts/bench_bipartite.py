@@ -6,6 +6,8 @@ sweeps the two-hop search (SearchBipartiteGraph, :282-356) with the
 chunked hop-2 expansion. Rows feed BASELINE.md's bipartite section.
 
 Run: `python scripts/bench_bipartite.py`. Emits one JSON line.
+`--smoke` runs the identical path on a tiny in-process synthetic world
+(CPU-friendly) to validate the script before an expensive device run.
 """
 
 import json
@@ -38,30 +40,45 @@ def main():
     from mysteryann_tpu.utils.fence import fence
     from mysteryann_tpu.utils.params import BuildConfig
 
-    key = "t2i1m_v2_1000000_200000_128"
+    smoke = "--smoke" in sys.argv[1:]
+    if smoke:
+        from mysteryann_tpu.io import make_cross_modal
+        from mysteryann_tpu.ops import exact_knn
+        base, train_q = make_cross_modal(4_000, 2_000, 32, metric="ip",
+                                         seed=11)
+        eval_q = make_cross_modal(1, 256, 32, metric="ip", seed=12)[1]
+        gt_d, gt_i = (np.asarray(a) for a in
+                      exact_knn(eval_q, base, k=K, metric="ip",
+                                precision="highest"))
+        knn = np.asarray(exact_knn(train_q, base, k=64, metric="ip",
+                                   precision="highest")[1])
+        cap, Ls, qbmax = 24, (50, 100), 256
+    else:
+        cap, Ls, qbmax = 64, (50, 100, 200, 400), 4096
+        key = "t2i1m_v2_1000000_200000_128"
 
-    def loadz(name):
-        with np.load(os.path.join(CACHE, name + ".npz")) as z:
-            return [z[k] for k in z.files]
+        def loadz(name):
+            with np.load(os.path.join(CACHE, name + ".npz")) as z:
+                return [z[k] for k in z.files]
 
-    base, train_q = loadz(key + "_data")
-    (eval_q,) = loadz(key + "_eval32768")
-    gt_i, gt_d = loadz(key + "_gt32768")
+        base, train_q = loadz(key + "_data")
+        (eval_q,) = loadz(key + "_eval32768")
+        gt_i, gt_d = loadz(key + "_gt32768")
+        (knn,) = loadz(key + "_knn")
     gt_i = gt_i.astype(np.int64)
-    (knn,) = loadz(key + "_knn")
 
     log("== build bipartite (M_pjbp=32) ==")
     t0 = time.time()
     index = build_bipartite(base, train_q, np.asarray(knn, np.int32),
                             BuildConfig(M_sq=64, M_pjbp=32, metric="ip"),
-                            base_row_cap=64)
+                            base_row_cap=cap)
     build_secs = time.time() - t0
     log(f"build {build_secs:.1f}s")
 
     s = BipartiteSearcher(index, base)
     rows = []
-    for L in (50, 100, 200, 400):
-        qb = 4096
+    for L in Ls:
+        qb = min(qbmax, eval_q.shape[0])
         # warm (compile), then device-timed: results stay on device and
         # the region ends with a 4-byte fence download (bench.py method)
         fence(s.search(eval_q[:qb], k=K, L=L, query_batch=qb,
