@@ -658,6 +658,16 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
     metric = Metric.parse(metric)
     if metric not in (Metric.IP, Metric.COSINE):
         raise ValueError("build_ivf_streaming is int8-only (IP/cosine)")
+    if metric == Metric.COSINE:
+        # normalize at the stream boundary so k-means, assignment,
+        # quantization, and rerank all see unit rows — the streamed
+        # twin of IVFIndex.__init__'s prepare_vectors(base) (queries
+        # are normalized at search time; scores are then true cosine)
+        raw_tile_fn = tile_fn
+        tile_fn = lambda s, w: prepare_vectors(raw_tile_fn(s, w), metric)
+        if rows_fn is not None:
+            raw_rows_fn = rows_fn
+            rows_fn = lambda ids: prepare_vectors(raw_rows_fn(ids), metric)
     t0 = time.perf_counter()
     nc = n_clusters or max(16, int(np.sqrt(n) * 2))
     tile = min(tile, n)
@@ -665,7 +675,11 @@ def build_ivf_streaming(tile_fn, n: int, dim: int, *,
     import os
     ck = None
     if assign_cache:
-        ck = f"{assign_cache}.ivfassign_{n}_{dim}_{nc}_{kmeans_iters}_{seed}.npz"
+        # every parameter the cached placement/centroids depend on must
+        # be in the key, or a changed build silently reuses stale state
+        ck = (f"{assign_cache}.ivfassign_{n}_{dim}_{nc}_{kmeans_iters}_"
+              f"{seed}_{metric.name.lower()}_{cap_factor:g}_"
+              f"{min(kmeans_sample, n)}.npz")
     if ck and os.path.exists(ck):
         # k-means + assignment are ~2/3 of a 50M build (device sweeps +
         # candidate downloads through the debug tunnel); both are pure

@@ -438,7 +438,10 @@ def _connectivity_pass_sharded(mesh, base_sh, projection, ep, cfg, metric,
     supply_sh = jax.device_put(jnp.asarray(supply0),
                                NamedSharding(mesh, P("mp", None)))
     del supply0
-    proj_dev = jnp.asarray(projection)  # replicated (ns membership only)
+    # projection stays HOST-resident; each batch uploads only its [sb, M]
+    # slice for the ns membership mask (a replicated [n, M] device copy
+    # is 1.28 GB at 10M — the margin the single-device build's
+    # proj_on_host branch exists to reclaim)
 
     r0 = 0
     for chunk in chunks:
@@ -453,7 +456,7 @@ def _connectivity_pass_sharded(mesh, base_sh, projection, ep, cfg, metric,
                 metric=metric, visited_mode="pool", collect_expanded=H)
             pool = r.hist_ids                                    # [sb, H]
             node_ids = np.arange(sl, sl + sb, dtype=np.int32)
-            proj_rows = jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
+            proj_rows = jnp.asarray(projection[sl: sl + sb])
             ns = (pool[:, :, None] == proj_rows[:, None, :]).any(
                 axis=2) & (pool < n)
             pruned = sharded_prune_rows(
@@ -485,10 +488,18 @@ def _connectivity_pass_sharded(mesh, base_sh, projection, ep, cfg, metric,
         r0 = r1
     log("")
 
-    # overflow re-prune + compact-truncate to M (per-row ops, mp-local)
+    # overflow re-prune + compact-truncate to M (per-row ops, mp-local).
+    # The compact runs in row slabs — a one-shot [n, 2M] re-upload plus
+    # its sort scratch is the exact pattern the single-device epilogue
+    # slabbed after OOMing at 10M (graph/roargraph.py memory note)
     supply = np.asarray(supply_sh)
     deg = (supply < n).sum(axis=1)
-    final = np.array(_compact_truncate(jnp.asarray(supply), cap=M, n=n))
+    final = np.empty((n, M), np.int32)
+    SLAB = min(n, 1 << 20)
+    for s in range(0, n, SLAB):
+        st = min(s, n - SLAB)  # clamped window; overlap recomputed
+        final[st: st + SLAB] = np.asarray(_compact_truncate(
+            jnp.asarray(supply[st: st + SLAB]), cap=M, n=n))
     over = np.nonzero(deg > M)[0]
     if over.size:
         K = max(1024, 1 << (int(over.size) - 1).bit_length())
@@ -532,13 +543,22 @@ def _ensure_reachability_sharded(mesh, final, ep, base_sh, metric, log):
         log(f"sharded phase E round {it}: {stranded.size} unreachable")
         kk = 32
         dp = mesh.shape["dp"]
-        bs = -(-max(dp, 1 << max(5, (stranded.size - 1).bit_length()))
-               // dp) * dp
-        pad_ids = np.zeros(bs, np.int32)
-        pad_ids[: stranded.size] = stranded
-        q = take_rows_sharded(mesh, base_sh, pad_ids)
-        _, cand = sharded_exact_knn(mesh, q, base_sh, k=kk, metric=metric)
-        cand = np.asarray(cand)[: stranded.size]
+        # chunk the stranded-node kNN: an unchunked B = stranded.size
+        # holds a [B/dp, tile] distance block per step — the OOM the
+        # single-device repair's qb loop was added for (100k+ strands
+        # happen at 10M)
+        QB = 8192
+        cand = np.empty((stranded.size, kk), np.int32)
+        for s in range(0, int(stranded.size), QB):
+            blk = stranded[s: s + QB]
+            bs = -(-max(dp, 1 << max(5, (int(blk.size) - 1).bit_length()))
+                   // dp) * dp
+            pad_ids = np.zeros(bs, np.int32)
+            pad_ids[: blk.size] = blk
+            q = take_rows_sharded(mesh, base_sh, pad_ids)
+            _, cc = sharded_exact_knn(mesh, q, base_sh, k=kk,
+                                      metric=metric)
+            cand[s: s + blk.size] = np.asarray(cc)[: blk.size]
         A = 3
         n_found = np.zeros(stranded.size, np.int64)
         attach_src, attach_dst = [], []

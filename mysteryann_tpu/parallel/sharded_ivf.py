@@ -33,7 +33,8 @@ from jax import shard_map
 
 from mysteryann_tpu.ivf import (IVFIndex, _ivf_group, _ivf_merge,
                                 _ivf_scan_grouped, _ivf_scan_grouped_i8)
-from mysteryann_tpu.ops.distances import Metric, pairwise_dist
+from mysteryann_tpu.ops.distances import (Metric, pairwise_dist,
+                                          prepare_vectors)
 
 
 class ShardedIVF:
@@ -80,6 +81,7 @@ class ShardedIVF:
             raise ValueError(f"nprobe {nprobe} > clusters {self.nc_real}")
         if not isinstance(queries, jax.Array):
             queries = jnp.asarray(np.asarray(queries, np.float32))
+        queries = prepare_vectors(queries, self.metric)  # cosine: normalize
         B = queries.shape[0]
         dp = self.mesh.shape["dp"]
         if B % dp:
@@ -99,14 +101,18 @@ def _sharded_ivf_fn(mesh, k, nprobe, metric, store, cap, dim, n_base,
                     nc_real, nc_pad, b_local, gscale):
     """Build the shard_map'd search fn (cached per static config)."""
     key = (mesh, k, nprobe, metric, store, cap, dim, n_base, nc_real,
-           nc_pad, b_local)
+           nc_pad, b_local, gscale)  # gscale is baked into the closure
     fn = _FN_CACHE.get(key)
     if fn is not None:
         return fn
 
     mp = mesh.shape["mp"]
     nc_local = nc_pad // mp
-    avg_load = max(1, b_local * nprobe // max(1, nc_local))
+    # every probe picks one of the GLOBAL nc_pad clusters, so a local
+    # cluster's expected load is b_local*nprobe/nc_pad (dividing by
+    # nc_local would oversize qmax — and the grouped scan's MXU work —
+    # by a factor of mp)
+    avg_load = max(1, b_local * nprobe // max(1, nc_pad))
     qmax = 1 << int(np.ceil(np.log2(4 * avg_load)))  # see _search_grouped
 
     def local(q, cents, blocks_l, bids_l):

@@ -163,3 +163,60 @@ def test_ivf_streaming_build(world):
     occ = ids < idx.n_base  # sentinel slots differ by design (zeros
     np.testing.assert_array_equal(  # vs clamped filler rows) — masked
         np.asarray(idx.blocks)[occ], np.asarray(idx2.blocks)[occ])
+
+
+def test_ivf_streaming_cosine_matches_in_memory(world):
+    # streamed cosine must normalize rows at the stream boundary — the
+    # twin of IVFIndex.__init__'s prepare_vectors(base). Scale rows by
+    # wildly varying norms: true cosine ranking is norm-invariant, so
+    # the streamed index must agree with the in-memory cosine build.
+    import jax.numpy as jnp
+    from mysteryann_tpu.ivf import build_ivf_streaming
+    base, q, _ = world
+    rng = np.random.default_rng(5)
+    scaled = base * np.exp(rng.normal(0, 2, (base.shape[0], 1))).astype(
+        np.float32)
+    mem = IVFIndex(scaled, metric="cosine", n_clusters=128, kmeans_iters=5,
+                   store="int8")
+    scaled_dev = jnp.asarray(scaled)
+
+    def tile_fn(start, size):
+        import jax
+        return jax.lax.dynamic_slice_in_dim(scaled_dev, start, size, 0)
+
+    st = build_ivf_streaming(tile_fn, scaled.shape[0], scaled.shape[1],
+                             metric="cosine", n_clusters=128,
+                             kmeans_iters=5, kmeans_sample=scaled.shape[0],
+                             tile=4096)
+    _, gt_cos = exact_knn(q, scaled, k=10, metric="cosine",
+                          precision="highest")
+    ids_m, _ = mem.search(q, k=10, nprobe=32, query_batch=500)
+    ids_s, _ = st.search(q, k=10, nprobe=32, query_batch=500)
+    rm = compute_recall(ids_m, gt_cos, 10)
+    rs = compute_recall(ids_s, gt_cos, 10)
+    assert rs > 0.85, f"streamed cosine recall {rs}"
+    assert abs(rm - rs) < 0.03, (rm, rs)
+
+
+def test_ivf_streaming_assign_cache_keyed_on_params(world, tmp_path):
+    # the assignment cache must miss when cap_factor changes — a stale
+    # hit silently reuses the old placement
+    import jax.numpy as jnp
+    import os
+    from mysteryann_tpu.ivf import build_ivf_streaming
+    base, _, _ = world
+    base_dev = jnp.asarray(base)
+
+    def tile_fn(start, size):
+        import jax
+        return jax.lax.dynamic_slice_in_dim(base_dev, start, size, 0)
+
+    kw = dict(metric="ip", n_clusters=64, kmeans_iters=2,
+              kmeans_sample=8192, tile=4096,
+              assign_cache=str(tmp_path / "c"))
+    i1 = build_ivf_streaming(tile_fn, base.shape[0], base.shape[1],
+                             cap_factor=1.2, **kw)
+    i2 = build_ivf_streaming(tile_fn, base.shape[0], base.shape[1],
+                             cap_factor=2.5, **kw)
+    assert len(list(tmp_path.iterdir())) == 2  # two distinct cache files
+    assert i2.cap > i1.cap  # the larger cap_factor actually took effect

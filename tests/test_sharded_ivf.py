@@ -43,3 +43,24 @@ def test_sharded_int8_recall_and_padding(world):
     ids_1, _ = idx.search(q, k=10, nprobe=32, query_batch=512)
     r1 = compute_recall(ids_1.astype(np.int64), gt, 10)
     assert abs(r - r1) < 0.02, (r, r1)
+
+
+def test_sharded_int8_distinct_gscales_not_cross_cached(world):
+    # two same-shape int8 indexes with different global scales must not
+    # share a compiled search fn: the fn closes over gscale, so the
+    # cache key has to include it (a collision returns distances scaled
+    # by the OTHER index's gscale)
+    base, q, _ = world
+    idx_a = IVFIndex(base, metric="ip", n_clusters=120, kmeans_iters=3,
+                     store="int8")
+    idx_b = IVFIndex(base * 7.0, metric="ip", n_clusters=120,
+                     kmeans_iters=3, store="int8")
+    assert idx_a.gscale != idx_b.gscale
+    mesh = make_mesh(dp=2, mp=4)
+    sa = ShardedIVF(mesh, idx_a)
+    sb = ShardedIVF(mesh, idx_b)
+    _, da = sa.search(q, k=10, nprobe=32)
+    _, db = sb.search(q, k=10, nprobe=32)
+    # scaling the corpus by 7 scales IP distances by 7; a gscale cache
+    # collision would break this by the ratio of the two gscales
+    np.testing.assert_allclose(db, da * 7.0, rtol=0.05, atol=0.05)
