@@ -58,14 +58,8 @@ def log(*a, **k):
 
 
 def _cached(name, fn):
-    os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, name + ".npz")
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return [z[k] for k in z.files]
-    out = fn()
-    np.savez(path, *out)
-    return list(out)
+    from mysteryann_tpu.utils.cache import npz_cached
+    return npz_cached(CACHE, name, fn)
 
 
 def read_baseline_qps() -> float:
@@ -102,13 +96,19 @@ def main():
     log("== data ==")
     base, train_q = _cached(key + "_data", lambda: make_cross_modal(
         N_BASE, N_TRAIN, DIM, metric=METRIC, seed=7))
-    (eval_q,) = _cached(f"{key}_eval{N_EVAL}", lambda: [make_cross_modal(
-        10, N_EVAL, DIM, metric=METRIC, seed=8)[1]])
+    # eval queries: SAME world as base/train (query_seed draws a fresh
+    # stream inside the seed-7 world). The old `seed=8` eval came from
+    # an unrelated synthetic world — near-isotropic w.r.t. this base
+    # (measured top-1 IP .49 vs .86 in-world), not the advertised OOD
+    # cross-modal workload. New cache keys (_evalw/_gtw) bust the stale
+    # artifacts; base/train and the built graph caches stay valid.
+    (eval_q,) = _cached(f"{key}_evalw{N_EVAL}", lambda: [make_cross_modal(
+        1, N_EVAL, DIM, metric=METRIC, seed=7, query_seed=8)[1]])
 
     log("== ground truth (exact) ==")
-    gt_i, gt_d = _cached(f"{key}_gt{N_EVAL}", lambda: list(reversed(exact_knn(
-        eval_q, base, k=K, metric=METRIC, query_batch=8192,
-        base_tile=131072))))
+    gt_i, gt_d = _cached(f"{key}_gtw{N_EVAL}", lambda: list(reversed(
+        exact_knn(eval_q, base, k=K, metric=METRIC, query_batch=8192,
+                  base_tile=131072, precision="highest"))))
     gt_i = gt_i.astype(np.int64)
 
     # ---- flat MXU index (headline serving mode at this scale) -------------

@@ -34,8 +34,18 @@ def make_cross_modal(
     noise: float = 0.45,
     metric: str = "ip",
     seed: int = 0,
+    query_seed: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Return (base [n_base, dim], queries [n_query, dim]) float32."""
+    """Return (base [n_base, dim], queries [n_query, dim]) float32.
+
+    ``query_seed`` draws the query-side samples from an independent RNG
+    stream while keeping the WORLD (concepts, modality maps, gap) from
+    ``seed`` — the way to get held-out eval queries from the same
+    distribution as a train set generated with plain ``seed`` (two
+    different ``seed`` values are two unrelated worlds: eval queries
+    from one share no latent structure with a base from the other).
+    Default ``None`` keeps the original single-stream draws.
+    """
     rng = np.random.default_rng(seed)
     h = min(intrinsic_dim, dim)
     concepts = rng.standard_normal((n_concepts, h)).astype(np.float32)
@@ -52,7 +62,7 @@ def make_cross_modal(
     pop = 1.0 / np.arange(1, n_concepts + 1) ** 0.8
     pop /= pop.sum()
 
-    def sample(n: int, query_side: bool) -> np.ndarray:
+    def sample(n: int, query_side: bool, rng=rng) -> np.ndarray:
         ids = rng.choice(n_concepts, size=n, p=pop)
         z = concepts[ids] + rng.standard_normal((n, h)).astype(np.float32) * noise
         x = z @ (b_map if query_side else a_map)
@@ -65,7 +75,9 @@ def make_cross_modal(
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         return x.astype(np.float32)
 
-    return sample(n_base, False), sample(n_query, True)
+    base = sample(n_base, False)
+    qrng = rng if query_seed is None else np.random.default_rng(query_seed)
+    return base, sample(n_query, True, rng=qrng)
 
 
 # ---------------------------------------------------------------------------

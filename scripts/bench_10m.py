@@ -37,14 +37,8 @@ def log(*a):
 
 
 def cached(name, fn):
-    os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, name + ".npz")
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return [z[k] for k in z.files]
-    out = fn()
-    np.savez(path, *out)
-    return list(out)
+    from mysteryann_tpu.utils.cache import npz_cached
+    return npz_cached(CACHE, name, fn)
 
 
 def main():
@@ -58,15 +52,28 @@ def main():
     log("== data ==")
     (base,) = cached(key + "_base", lambda: [make_cross_modal(
         N_BASE, 10, DIM, metric="ip", seed=17)[0]])
-    (eval_q,) = cached(f"{key}_eval{N_EVAL}", lambda: [make_cross_modal(
-        10, N_EVAL, DIM, metric="ip", seed=18)[1]])
+    # eval queries: SAME seed-17 world as the base (the old `seed=18`
+    # eval was an unrelated synthetic world — near-isotropic w.r.t.
+    # this base, not the advertised cross-modal workload). Reuse
+    # build_10m.py's held-out eval split when its cache exists (the
+    # graph serving rows below were built against that same world).
+    gkey = f"{key}_graph1000000"
+    q_path = os.path.join(CACHE, f"{gkey}_queries.npz")
+    if os.path.exists(q_path):
+        with np.load(q_path) as z:
+            eval_q = z["eval"]
+    else:
+        (eval_q,) = cached(f"{key}_evalw{N_EVAL}", lambda: [make_cross_modal(
+            1, N_EVAL, DIM, metric="ip", seed=17, query_seed=18)[1]])
 
     log("== exact GT ==")
     # exact top_k does not fuse with the matmul, so the [qb, tile] f32
     # block materializes — keep it ~1 GB next to the 5.1 GB base
-    gt_i, _ = cached(f"{key}_gt{N_EVAL}", lambda: list(reversed(exact_knn(
-        eval_q, base, k=K, metric="ip", query_batch=2048,
-        base_tile=131072, precision="highest"))))
+    gt_i, _ = cached(f"{gkey}_gt" if os.path.exists(q_path)
+                     else f"{key}_gtw{N_EVAL}",
+                     lambda: list(reversed(exact_knn(
+                         eval_q, base, k=K, metric="ip", query_batch=2048,
+                         base_tile=131072, precision="highest"))))
     gt_i = gt_i.astype(np.int64)
 
     rows = []

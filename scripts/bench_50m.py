@@ -87,12 +87,24 @@ def main():
     def merge_topk(bd, bi, nd, ni, k):
         cd = jnp.concatenate([bd, nd], axis=1)
         ci = jnp.concatenate([bi, ni], axis=1)
+        # drop duplicate ids before selection (clamped tail windows feed
+        # their overlap rows into the merge twice): keep the first copy,
+        # push the rest to +inf. Width is 2K, so the pairwise mask is tiny.
+        w = ci.shape[1]
+        later = jnp.arange(w)[None, :, None] > jnp.arange(w)[None, None, :]
+        dup = ((ci[:, :, None] == ci[:, None, :]) & later).any(axis=2)
+        cd = jnp.where(dup, jnp.inf, cd)
         neg, pos = jax.lax.top_k(-cd, k)
         return -neg, jnp.take_along_axis(ci, pos, axis=1)
 
     # ---- exact GT, streamed over generated tiles ---------------------------
+    # v2: clamped full-stride windows + id-dedup merge. The previous
+    # full-stride-and-mask-after scheme let PHANTOM rows (generator
+    # indices >= n in the unclamped tail tile, drawn from the same
+    # distribution) win per-tile top-K slots before the gid>=n mask,
+    # evicting true tail-resident neighbors from the cached GT.
     os.makedirs(CACHE, exist_ok=True)
-    gt_path = os.path.join(CACHE, f"synth50m_{n}_{DIM}_gt{N_EVAL}.npz")
+    gt_path = os.path.join(CACHE, f"synth50m_{n}_{DIM}_gtv2_{N_EVAL}.npz")
     if os.path.exists(gt_path):
         with np.load(gt_path) as z:
             gt_i, gt_d = z["ids"].astype(np.int64), z["dists"]
@@ -101,18 +113,18 @@ def main():
         t0 = time.time()
         bd = jnp.full((N_EVAL, K), jnp.inf, jnp.float32)
         bi = jnp.full((N_EVAL, K), n, jnp.int32)
-        for s in range(0, n, tile):
-            # full-stride tiles, NOT clamped windows: a clamped tail
-            # window would feed overlap rows into the merge twice and
-            # duplicate ids inside the GT top-k. The generator happily
-            # produces rows past n — mask them out instead.
-            rows = spec.base_tile(s, tile)
+        for it, s in enumerate(range(0, n, tile)):
+            st = min(s, n - tile)  # clamped window: one compiled shape,
+            rows = spec.base_tile(st, tile)  # no phantom rows ever
             nd, ni = exact_knn_device(eval_q, rows, k=K, metric="ip",
                                       tile=min(tile, 131072),
                                       precision="highest")
-            gid = ni + s
-            nd = jnp.where(gid < n, nd, jnp.inf)
-            bd, bi = merge_topk(bd, bi, nd, jnp.minimum(gid, n), K)
+            bd, bi = merge_topk(bd, bi, nd, ni + st, K)
+            if it % 4 == 3:
+                # bound in-flight tiles (same fix as the fill loop —
+                # queued generate+scan iterations exhaust HBM); a tiny
+                # readback is the only reliable fence on this rig
+                np.asarray(bd[0, 0])
         bd.block_until_ready()
         gt_i, gt_d = np.asarray(bi).astype(np.int64), np.asarray(bd)
         np.savez(gt_path, ids=gt_i, dists=gt_d)
@@ -132,6 +144,12 @@ def main():
     def bench(search_fn, label, qb=None):
         """Device-timed loop over all eval batches; returns row dict."""
         qb = qb or args.query_batch
+        if N_EVAL % qb:
+            # a clamped last slice would re-run overlap queries (ids
+            # outnumber gt rows -> compute_recall broadcast error) and
+            # overstate QPS
+            raise ValueError(f"n_eval ({N_EVAL}) must divide the query "
+                             f"batch ({qb})")
         outs = [search_fn(jax.lax.dynamic_slice_in_dim(eval_q, 0, qb))]
         fence(outs[0])                                  # warmup + compile
         outs = []

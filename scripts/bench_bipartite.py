@@ -46,7 +46,8 @@ def main():
         from mysteryann_tpu.ops import exact_knn
         base, train_q = make_cross_modal(4_000, 2_000, 32, metric="ip",
                                          seed=11)
-        eval_q = make_cross_modal(1, 256, 32, metric="ip", seed=12)[1]
+        eval_q = make_cross_modal(1, 256, 32, metric="ip", seed=11,
+                                  query_seed=12)[1]
         gt_d, gt_i = (np.asarray(a) for a in
                       exact_knn(eval_q, base, k=K, metric="ip",
                                 precision="highest"))
@@ -62,8 +63,10 @@ def main():
                 return [z[k] for k in z.files]
 
         base, train_q = loadz(key + "_data")
-        (eval_q,) = loadz(key + "_eval32768")
-        gt_i, gt_d = loadz(key + "_gt32768")
+        # the in-world eval set + exact GT (bench.py writes these; the
+        # old _eval32768/_gt32768 entries were a different-world eval)
+        (eval_q,) = loadz(key + "_evalw32768")
+        gt_i, gt_d = loadz(key + "_gtw32768")
         (knn,) = loadz(key + "_knn")
     gt_i = gt_i.astype(np.int64)
 

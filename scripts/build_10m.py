@@ -51,14 +51,8 @@ def log(*a):
 
 
 def cached(name, fn):
-    os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, name + ".npz")
-    if os.path.exists(path):
-        with np.load(path) as z:
-            return [z[k] for k in z.files]
-    out = fn()
-    np.savez(path, *out)
-    return list(out)
+    from mysteryann_tpu.utils.cache import npz_cached
+    return npz_cached(CACHE, name, fn)
 
 
 def main():

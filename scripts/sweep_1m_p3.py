@@ -62,8 +62,9 @@ def main():
             return [z[k] for k in z.files]
 
     base, train_q = loadz(key + "_data")
-    (eval_q,) = loadz(key + "_eval32768")
-    gt_i, gt_d = loadz(key + "_gt32768")
+    # in-world eval + GT (bench.py writes these under the w keys)
+    (eval_q,) = loadz(key + "_evalw32768")
+    gt_i, gt_d = loadz(key + "_gtw32768")
     gt_i = gt_i.astype(np.int64)
     (knn,) = loadz(key + "_knn")
 

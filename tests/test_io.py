@@ -70,6 +70,24 @@ def test_synthetic_shapes_and_ood():
     assert gap > 0.05
 
 
+def test_synthetic_query_seed_same_world():
+    # query_seed: independent query draws from the SAME world (the
+    # held-out-eval mechanism). Same base, different queries, and the
+    # new queries still live on the base manifold — unlike queries from
+    # a different seed, which are a different world entirely.
+    b1, q1 = make_cross_modal(3000, 200, 32, metric="ip", seed=7)
+    b2, q2 = make_cross_modal(3000, 200, 32, metric="ip", seed=7,
+                              query_seed=8)
+    np.testing.assert_array_equal(b1, b2)
+    assert not np.array_equal(q1, q2)
+    q_other = make_cross_modal(10, 200, 32, metric="ip", seed=8)[1]
+    top1 = lambda q: float(np.mean((q @ b1.T).max(axis=1)))
+    assert top1(q2) > top1(q_other) + 0.05
+    # and default (no query_seed) stays byte-stable
+    b3, q3 = make_cross_modal(3000, 200, 32, metric="ip", seed=7)
+    np.testing.assert_array_equal(q1, q3)
+
+
 def test_nsg_import(tmp_path, rng):
     import struct
     from mysteryann_tpu.graph import load_nsg_graph
