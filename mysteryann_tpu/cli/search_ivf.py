@@ -11,7 +11,9 @@ merged top-R candidates with exact f32 rows from ``--base_data_path``
 from __future__ import annotations
 
 import argparse
+import sys
 
+from mysteryann_tpu.ops.distances import Metric
 from mysteryann_tpu.cli.common import (
     load_vectors,
     result_header,
@@ -49,13 +51,24 @@ def main(argv=None) -> int:
         p.error("--rerank needs --base_data_path")
     base = load_vectors(args.base_data_path) if args.base_data_path else None
     idx = IVFIndex.load(args.index_path, base=base)
-    metric = args.dist or idx.metric
+    if args.dist and Metric.parse(args.dist) != idx.metric:
+        # the metric is baked into the index at build time (cosine
+        # normalization + int8 quantization happen on the stored rows) —
+        # a search-time override would silently report the wrong thing
+        p.error(f"--dist {args.dist!r} conflicts with the index's "
+                f"baked-in metric {idx.metric.value!r}; rebuild with "
+                "msann-build-ivf --dist")
+    metric = idx.metric
     queries = load_vectors(args.query_path)
     gt_ids, gt_dists = read_gt_with_dist(args.gt_path)
 
     print(result_header())
     rows = []
     for nprobe in args.nprobe:
+        if nprobe > idx.n_clusters:
+            print(f"# skipping nprobe={nprobe} (> {idx.n_clusters} "
+                  "clusters)", file=sys.stderr)
+            continue
         r = idx.benchmark(queries, k=args.k, nprobe=nprobe,
                           query_batch=args.query_batch, rerank=args.rerank)
         row = {

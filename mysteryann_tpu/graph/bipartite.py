@@ -101,9 +101,9 @@ class BipartiteIndex:
             if rc != 0:
                 raise OSError(f"native load failed ({rc}) for {path}")
             return cls(neighbors=nb,
-                       n_base=int(meta.get("n_base", n_base or 0)),
+                       n_base=int(n_base or meta.get("n_base", 0)),
                        metric=Metric.parse(metric or meta.get("metric", "ip")),
-                       dim=int(meta.get("dim", dim)))
+                       dim=int(dim or meta.get("dim", 0)))
         with open(path, "rb") as f:
             (n_total,) = struct.unpack("<I", f.read(4))
             payload = np.fromfile(f, dtype=np.uint32)
@@ -117,10 +117,13 @@ class BipartiteIndex:
         nb = np.full((n_total, maxdeg), n_total, np.int32)
         for i, row in enumerate(lists):
             nb[i, : row.size] = row
+        # explicit arguments win over the sidecar (a stale meta file must
+        # not silently override a caller-supplied n_base — the base/query
+        # id split decides which nodes can be returned as results)
         return cls(neighbors=nb,
-                   n_base=int(meta.get("n_base", n_base or 0)),
+                   n_base=int(n_base or meta.get("n_base", 0)),
                    metric=Metric.parse(metric or meta.get("metric", "ip")),
-                   dim=int(meta.get("dim", dim)))
+                   dim=int(dim or meta.get("dim", 0)))
 
 
 def build_bipartite(
@@ -145,7 +148,7 @@ def build_bipartite(
     # query rows: kNN minus every occurrence of the top-1 target
     tgt = knn[:, 0]
     q_rows = np.where(knn == tgt[:, None], n_total, knn).astype(np.int32)
-    q_rows = q_rows[:, 1:] if np.all(q_rows[:, 0] == n_total) else q_rows
+    q_rows = q_rows[:, 1:]  # column 0 IS the target — always sentinel
     # left-compact
     order = np.argsort(q_rows == n_total, axis=1, kind="stable")
     q_rows = np.take_along_axis(q_rows, order, axis=1)
@@ -156,14 +159,20 @@ def build_bipartite(
     if base_row_cap > 0:
         width_base = min(width_base, base_row_cap)
     if base_row_cap > 0:
-        # closest-first: order queries by distance to their target
-        bd = prepare_vectors(base, metric)
-        qd = prepare_vectors(train_queries, metric)
-        a = np.asarray(jnp.take(bd, jnp.asarray(tgt), axis=0))
-        ip = np.sum(a * np.asarray(qd), axis=1)
-        dist = -ip if metric in (Metric.IP, Metric.COSINE) else None
-        if dist is None:
-            dist = ((a - np.asarray(qd)) ** 2).sum(axis=1)
+        # closest-first: order queries by distance to their target.
+        # All-host math (an nq-row gather + per-row dots): uploading the
+        # full base/query matrices to compute this was pure transfer
+        # waste at 10M scale.
+        a = base[tgt].astype(np.float32, copy=False)
+        qd = np.asarray(train_queries, np.float32)
+        if metric == Metric.COSINE:  # normalize_rows parity (eps 1e-12)
+            a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True),
+                               1e-12)
+            qd = qd / np.maximum(np.linalg.norm(qd, axis=1, keepdims=True),
+                                 1e-12)
+        ip = np.einsum("ij,ij->i", a, qd)
+        dist = (-ip if metric in (Metric.IP, Metric.COSINE)
+                else ((a - qd) ** 2).sum(axis=1))
         order = np.lexsort((dist, tgt))
     else:
         order = np.argsort(tgt, kind="stable")

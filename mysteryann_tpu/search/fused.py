@@ -505,6 +505,10 @@ class FusedSearcher:
             raise ValueError("seeds > 0 needs FusedSearcher(seed_sample=r)")
         if seeds > L:
             raise ValueError(f"seeds ({seeds}) must be <= L ({L})")
+        if k > L:
+            # the pool holds L candidates; a larger k would silently
+            # return only L columns (jnp slice clamping)
+            raise ValueError(f"k ({k}) must be <= L ({L})")
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
         q = prepare_vectors(queries, self.metric)

@@ -148,3 +148,22 @@ def test_build_and_search_ivf_cli(data_dir, capsys):
     assert float(last.split()[4]) > 0.99, out
     import os
     assert os.path.exists(data_dir / "ivf.csv")
+    # a --dist override conflicting with the baked-in metric must fail
+    # loudly (normalization/quantization happen at build time)
+    with pytest.raises(SystemExit):
+        search_ivf.main([
+            "--index_path", str(data_dir / "ivf.npz"),
+            "--query_path", str(data_dir / "eval.fbin"),
+            "--gt_path", str(data_dir / "gt.bin"),
+            "--dist", "cosine",
+        ])
+    # nprobe values beyond the cluster count are skipped, not crashed
+    rc = search_ivf.main([
+        "--index_path", str(data_dir / "ivf.npz"),
+        "--base_data_path", str(data_dir / "base.fbin"),
+        "--query_path", str(data_dir / "eval.fbin"),
+        "--gt_path", str(data_dir / "gt.bin"),
+        "--k", "10", "--nprobe", "8", "512", "--rerank", "40",
+        "--query_batch", "100",
+    ])
+    assert rc == 0

@@ -62,6 +62,8 @@ def test_fused_seed_validation(built):
     seeded = FusedSearcher(index, base, seed_sample=8)
     with pytest.raises(ValueError):
         seeded.search(eval_q[:4], k=5, L=32, seeds=64)  # seeds > L
+    with pytest.raises(ValueError):
+        plain.search(eval_q[:4], k=40, L=32)  # k > L: pool holds only L
 
 
 def test_fused_early_exit_trades_hops_for_recall(built):
