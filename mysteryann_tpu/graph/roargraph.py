@@ -159,10 +159,17 @@ def load_projection_graph(path: str, m_pad: Optional[int] = None) -> PaddedGraph
     # sequential part; degree extraction and id placement are vectorized
     starts = np.empty(n, np.int64)
     off = 0
-    words = payload.tolist()  # python-int walk beats numpy scalar indexing
+    # python-int walk beats numpy scalar indexing, but a whole-payload
+    # tolist() is ~28 B/word transient (10 GB for a 10M-node graph) —
+    # chunk it: O(chunk) extra memory, same speed
+    CH = 1 << 22
+    lo, words = 0, []
     for i in range(n):
         starts[i] = off
-        off += 1 + words[off]
+        if not lo <= off < lo + len(words):
+            lo = off
+            words = payload[lo: lo + CH].tolist()
+        off += 1 + words[off - lo]
     if off != payload.size:
         raise ValueError(f"{path}: trailing bytes in projection graph file")
     degs = payload[starts].astype(np.int64)
@@ -267,12 +274,10 @@ def compute_medoid(base: jax.Array) -> int:
 
 def _aggregate_reverse(
     e_src: np.ndarray, e_dst: np.ndarray, e_dist: np.ndarray,
-    n: int, r_max: int, budget: Optional[np.ndarray] = None,
+    n: int, r_max: int,
 ) -> np.ndarray:
     """Group reverse edges by destination, closest-first, into [n, r_max].
 
-    ``budget`` (per-destination max accepted, e.g. ``2M - own_degree``)
-    emulates the reference's bounded push_back before overflow pruning.
     (Phase D's arrival-order variant lives on device in
     ``_fold_round_device``.) Returns sentinel(n)-padded int32.
     """
@@ -282,8 +287,7 @@ def _aggregate_reverse(
     offsets = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
     rank = np.arange(ds.size, dtype=np.int64) - offsets[ds]
-    lim = np.full(n, r_max, np.int64) if budget is None else np.minimum(budget, r_max)
-    keep = rank < lim[ds]
+    keep = rank < r_max
     out = np.full((n, r_max), n, np.int32)
     out[ds[keep], rank[keep]] = ss[keep]
     return out
@@ -586,28 +590,13 @@ def _fold_round_device(supply: jax.Array, chunk_lists: jax.Array,
     them through the overflow prune + refill.
     """
     n, W = supply.shape
-    c, M = chunk_lists.shape
-    row_ids = r0 + jnp.arange(c, dtype=jnp.int32)
-    ok_row = row_ids < n
-    chunk_lists = jnp.where(ok_row[:, None], chunk_lists, n)
     # own rows: overwrite with the fresh pruned lists (reference :1213)
-    own_new = jnp.concatenate(
-        [chunk_lists, jnp.full((c, W - M), n, jnp.int32)], axis=1)
-    supply = supply.at[jnp.where(ok_row, row_ids, n)].set(
-        own_new, mode="drop")
+    supply = _own_overwrite(supply, chunk_lists, r0)
 
     # arrival-order reverse aggregation, budget W per destination
     # (reference SupplyAddReverse push_back order; see host
     # _aggregate_reverse for why closest-first caps starve tail nodes)
-    src = jnp.repeat(row_ids, M)
-    dst = chunk_lists.reshape(-1)
-    dstk = jnp.where(dst < n, dst, jnp.int32(n))
-    arrival = jnp.arange(c * M, dtype=jnp.int32)
-    ds, _, ss = jax.lax.sort((dstk, arrival, src), dimension=-1, num_keys=2)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), ds[1:] != ds[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(is_start, arrival, 0))
-    rank = arrival - seg_start
+    ds, ss, rank = _round_edges(chunk_lists, r0, n)
     keep = (ds < n) & (rank < W)
     rev = jnp.full((n + 1, W), n, jnp.int32)
     rev = rev.at[jnp.where(keep, ds, n), jnp.where(keep, rank, 0)].set(
@@ -616,18 +605,44 @@ def _fold_round_device(supply: jax.Array, chunk_lists: jax.Array,
     deg_own = jnp.sum(supply < n, axis=1, dtype=jnp.int32)
     deg_rev = jnp.sum(rev < n, axis=1, dtype=jnp.int32)
     fit = (deg_own + deg_rev) <= W
+    return _merge_rev_rows(supply, rev, fit, n), rev, fit
 
-    # fit rows: append rev into free slots, dropping entries already in
-    # own (host _concat_budgeted), blocked so the [bs, W, W] dedup
-    # broadcast stays bounded. Prefer a block size that DIVIDES n: with
-    # n_pad == n the merged output shape matches the donated supply
-    # buffer, letting XLA alias them — a fresh N*W alloc here (2.56 GB
-    # at 10M) was part of the fold's RESOURCE_EXHAUSTED peak
-    bs = min(8192, n)
-    for cand_bs in range(min(8192, n), 255, -1):
-        if n % cand_bs == 0:
-            bs = cand_bs
-            break
+
+
+
+def _own_overwrite(supply: jax.Array, chunk_lists: jax.Array, r0):
+    """Own-row overwrite of one chunk (reference :1213). Traced helper
+    shared by `_fold_round_device` and the slabbed fold prologue
+    `_fold_own_rows` — ONE implementation so the two fold paths cannot
+    drift (their bit-identity is test-pinned)."""
+    n, W = supply.shape
+    c, M = chunk_lists.shape
+    row_ids = r0 + jnp.arange(c, dtype=jnp.int32)
+    ok_row = row_ids < n
+    chunk_lists = jnp.where(ok_row[:, None], chunk_lists, n)
+    own_new = jnp.concatenate(
+        [chunk_lists, jnp.full((c, W - M), n, jnp.int32)], axis=1)
+    return supply.at[jnp.where(ok_row, row_ids, n)].set(
+        own_new, mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _fold_own_rows(supply: jax.Array, chunk_lists: jax.Array, r0: jax.Array):
+    """Own-row overwrite of one chunk, in place (slabbed fold prologue)."""
+    return _own_overwrite(supply, chunk_lists, r0)
+
+
+def _merge_rev_rows(own: jax.Array, rev: jax.Array, fit: jax.Array, n: int):
+    """Append rev edges into own rows' free slots for rows that fit,
+    dropping entries already present (the host fold's dedup), blocked so
+    the [bs, W, W] membership broadcast stays bounded.
+
+    Prefers a block size that DIVIDES the row count: the merged output
+    shape then matches the donated input buffer, letting XLA alias them
+    — a fresh N*W alloc here (2.56 GB at 10M) was part of the fold's
+    RESOURCE_EXHAUSTED peak. Traced helper shared by
+    `_fold_round_device` and `_fold_slab` (bit-identity test-pinned)."""
+    rows, W = own.shape
 
     def blk(args):
         own_b, rev_b, fit_b = args
@@ -641,34 +656,20 @@ def _fold_round_device(supply: jax.Array, chunk_lists: jax.Array,
         packed = jnp.where(k_s[:, :W] < 2 * W, v_s[:, :W], jnp.int32(n))
         return jnp.where(fit_b[:, None], packed, own_b)
 
-    n_pad = -(-n // bs) * bs
-    pad_r = n_pad - n
-    own_p = jnp.concatenate(
-        [supply, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else supply
-    rev_p = jnp.concatenate(
-        [rev, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else rev
-    fit_p = jnp.concatenate(
-        [fit, jnp.zeros((pad_r,), jnp.bool_)]) if pad_r else fit
+    bs = min(8192, rows)
+    for cand_bs in range(min(8192, rows), 255, -1):
+        if rows % cand_bs == 0:
+            bs = cand_bs
+            break
+    pad_r = (-rows) % bs
+    if pad_r:
+        own = jnp.concatenate([own, jnp.full((pad_r, W), n, jnp.int32)])
+        rev = jnp.concatenate([rev, jnp.full((pad_r, W), n, jnp.int32)])
+        fit = jnp.concatenate([fit, jnp.zeros((pad_r,), jnp.bool_)])
     merged = jax.lax.map(
-        blk, (own_p.reshape(-1, bs, W), rev_p.reshape(-1, bs, W),
-              fit_p.reshape(-1, bs)))
-    return merged.reshape(n_pad, W)[:n], rev, fit
-
-
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _fold_own_rows(supply: jax.Array, chunk_lists: jax.Array, r0: jax.Array):
-    """Own-row overwrite of one chunk (reference :1213), in place."""
-    n, W = supply.shape
-    c, M = chunk_lists.shape
-    row_ids = r0 + jnp.arange(c, dtype=jnp.int32)
-    ok_row = row_ids < n
-    chunk_lists = jnp.where(ok_row[:, None], chunk_lists, n)
-    own_new = jnp.concatenate(
-        [chunk_lists, jnp.full((c, W - M), n, jnp.int32)], axis=1)
-    return supply.at[jnp.where(ok_row, row_ids, n)].set(
-        own_new, mode="drop")
+        blk, (own.reshape(-1, bs, W), rev.reshape(-1, bs, W),
+              fit.reshape(-1, bs)))
+    return merged.reshape(-1, W)[:rows]
 
 
 def _round_edges(chunk_lists, r0, n):
@@ -714,34 +715,7 @@ def _fold_slab(supply: jax.Array, chunk_lists: jax.Array, r0: jax.Array,
     deg_own = jnp.sum(own < n, axis=1, dtype=jnp.int32)
     deg_rev = jnp.sum(rev < n, axis=1, dtype=jnp.int32)
     fit = (deg_own + deg_rev) <= W
-
-    def blk(args):
-        own_b, rev_b, fit_b = args
-        dup = (rev_b[:, :, None] == own_b[:, None, :]).any(axis=2)
-        posw = jax.lax.broadcasted_iota(jnp.int32, own_b.shape, 1)
-        own_key = jnp.where(own_b < n, posw, 3 * W + posw)
-        rev_key = jnp.where((rev_b < n) & ~dup, W + posw, 4 * W + posw)
-        keys = jnp.concatenate([own_key, rev_key], axis=1)
-        vals = jnp.concatenate([own_b, rev_b], axis=1)
-        k_s, v_s = jax.lax.sort((keys, vals), dimension=-1, num_keys=1)
-        packed = jnp.where(k_s[:, :W] < 2 * W, v_s[:, :W], jnp.int32(n))
-        return jnp.where(fit_b[:, None], packed, own_b)
-
-    bs = min(8192, sn)
-    for cand_bs in range(min(8192, sn), 255, -1):
-        if sn % cand_bs == 0:
-            bs = cand_bs
-            break
-    pad_r = (-sn) % bs
-    own_p = jnp.concatenate(
-        [own, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else own
-    rev_p = jnp.concatenate(
-        [rev, jnp.full((pad_r, W), n, jnp.int32)]) if pad_r else rev
-    fit_p = jnp.concatenate(
-        [fit, jnp.zeros((pad_r,), jnp.bool_)]) if pad_r else fit
-    merged = jax.lax.map(
-        blk, (own_p.reshape(-1, bs, W), rev_p.reshape(-1, bs, W),
-              fit_p.reshape(-1, bs))).reshape(-1, W)[:sn]
+    merged = _merge_rev_rows(own, rev, fit, n)
     supply = jax.lax.dynamic_update_slice_in_dim(supply, merged, lo, 0)
     return supply, fit
 
@@ -765,9 +739,9 @@ def _rev_rows_for_ids(chunk_lists, r0, ids_sorted, n: int, W: int):
 
 def _refill_rows_device(pruned: jax.Array, cand: jax.Array,
                         n: int) -> jax.Array:
-    """Overflow-row refill (host _concat_budgeted semantics): start from
-    the pruned list, append candidates not already kept — in candidate
-    (arrival) order — into free slots up to W = cand_width / 2."""
+    """Overflow-row refill: start from the pruned list, append candidates
+    not already kept — in candidate (arrival) order, duplicates dropped —
+    into free slots up to W = cand_width / 2."""
     return _refill_jit(pruned, cand, n=n)
 
 
@@ -822,7 +796,9 @@ def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
     if slabbed:
         supply_dev = _fold_own_rows(supply_dev, chunk_lists, jnp.int32(r0))
         # slab size: rev + merged scratch ~2 * sn * W * 4 bytes <= ~2.6 GB
-        n_slabs = max(2, -(-(8 * n * W) // (26 << 28)))
+        # (the earlier 26 << 28 constant was ~7 GB — 2.7x the documented
+        # budget; it only held at <=10M because max(2, ...) dominated)
+        n_slabs = max(2, -(-(8 * n * W) // (26 * 10 ** 8)))
         while n % n_slabs and n_slabs < 64:
             n_slabs += 1  # prefer equal slabs (one compiled shape)
         sn = -(-n // n_slabs)
@@ -1017,8 +993,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             node_ids = jnp.arange(sl, sl + sb, dtype=jnp.int32)
             # seed must not be an existing projection neighbor (:1861-1864)
             proj_rows = proj_slice(sl)
-            ns = (pool[:, :, None] == proj_rows[:, None, :]).any(
-                axis=2) & (pool < n)
+            ns = _membership(pool, proj_rows, n)
             # two_pass=False diverges DELIBERATELY from the reference's
             # second scan (:1897-1931, readmits pre-seed-skipped
             # projection members): reproducing it measured L=100 recall
@@ -1094,8 +1069,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             # PruneProjectionBaseSearchCandidates at :1240): projection
             # members can't seed (two_pass off — see the in-round note)
             proj_rows = projection[np.minimum(over_ids, n - 1)]
-            ns = (cand[:, :, None] == proj_rows[:, None, :]).any(
-                axis=2) & (cand < n)
+            ns = _membership(cand, proj_rows, n)
             pruned = _batched_prune_rows(
                 base_dev, over_ids, cand, M, metric, prune_batch,
                 fill=False, not_seedable=ns, return_device=True)
@@ -1109,21 +1083,6 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
 def _left_compact(arr: np.ndarray, sentinel: int) -> np.ndarray:
     order = np.argsort(arr == sentinel, axis=1, kind="stable")
     return np.take_along_axis(arr, order, axis=1)
-
-
-def _concat_budgeted(own: np.ndarray, extra: np.ndarray, n: int) -> np.ndarray:
-    """Append `extra` (already budget-capped, dup-possible vs own) into own's
-    free slots, dropping duplicates, keeping width fixed."""
-    width = own.shape[1]
-    # drop extras already present in own (chunked broadcast)
-    extra = extra.copy()
-    chunk = max(1, (1 << 27) // max(1, extra.shape[1] * width))
-    for s in range(0, own.shape[0], chunk):
-        e = min(s + chunk, own.shape[0])
-        dup = (extra[s:e, :, None] == own[s:e, None, :]).any(axis=2)
-        extra[s:e][dup] = n
-    cat = np.concatenate([own, extra], axis=1)
-    return _left_compact(cat, n)[:, :width]
 
 
 def _ensure_reachability(final: np.ndarray, ep: int, base_dev, metric,

@@ -130,3 +130,44 @@ def test_index_registry():
     assert get_index_cls("flat").index_kind == "flat"
     with pytest.raises(ValueError):
         get_index_cls("nope")
+
+
+def test_projection_loader_python_fallback_chunked(tmp_path):
+    # the python fallback walks row starts through fixed-size tolist()
+    # chunks (a whole-payload tolist() is ~28 B/word); cross the 4M-word
+    # chunk boundary to exercise the refill path
+    import struct
+    import warnings
+    import mysteryann_tpu.native as native
+    from mysteryann_tpu.graph.roargraph import load_projection_graph
+
+    rng = np.random.default_rng(3)
+    n = 400_000
+    degs = rng.integers(5, 16, n).astype(np.int64)  # ~4.6M words total
+    words = np.empty(int(n + degs.sum()), np.uint32)
+    off, rows = 0, []
+    for i in range(n):
+        d = int(degs[i])
+        words[off] = d
+        ids = rng.integers(0, n, d).astype(np.uint32)
+        words[off + 1: off + 1 + d] = ids
+        rows.append(ids)
+        off += 1 + d
+    assert off == words.size and off > (1 << 22)  # crosses a chunk
+    p = str(tmp_path / "g.index")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<II", 7, n))
+        words.tofile(f)
+    lib0 = native.lib
+    native.lib = lambda: None
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            g = load_projection_graph(p)
+    finally:
+        native.lib = lib0
+    assert g.ep == 7 and g.neighbors.shape[0] == n
+    nb = np.asarray(g.neighbors)
+    for i in (0, 12345, n - 1):
+        got = nb[i][nb[i] < n]
+        np.testing.assert_array_equal(got, rows[i].astype(np.int32))
