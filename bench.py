@@ -31,8 +31,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
-# scale config (T2I-1M slice, BASELINE.json configs[0]); v2 = manifold data
-KEY_VERSION = "v2"
+# scale config (T2I-1M slice, BASELINE.json configs[0]).
+# v3 = difficulty-calibrated world: v2's in-world eval was too easy (the
+# reference graph crossed recall .95 at L_pq=15; on its real T2I
+# benchmark that crossing sits near L~100-200). v3's geometry (20k
+# concepts, intrinsic dim 48, noise .85 — scripts/calibrate_world.py)
+# puts the reference's .95 crossing at L=125 at 1M, measured with its
+# own binary: the synthetic proxy now exercises the regime the
+# reference was built for. World history in BASELINE.md.
+KEY_VERSION = "v3"
+WORLD = dict(n_concepts=20_000, intrinsic_dim=48, noise=0.85)
 N_BASE = 1_000_000
 N_TRAIN = 200_000
 # 4 chained device batches per timed sync: the axon tunnel imposes a
@@ -95,7 +103,7 @@ def main():
 
     log("== data ==")
     base, train_q = _cached(key + "_data", lambda: make_cross_modal(
-        N_BASE, N_TRAIN, DIM, metric=METRIC, seed=7))
+        N_BASE, N_TRAIN, DIM, metric=METRIC, seed=7, **WORLD))
     # eval queries: SAME world as base/train (query_seed draws a fresh
     # stream inside the seed-7 world). The old `seed=8` eval came from
     # an unrelated synthetic world — near-isotropic w.r.t. this base
@@ -103,7 +111,7 @@ def main():
     # cross-modal workload. New cache keys (_evalw/_gtw) bust the stale
     # artifacts; base/train and the built graph caches stay valid.
     (eval_q,) = _cached(f"{key}_evalw{N_EVAL}", lambda: [make_cross_modal(
-        1, N_EVAL, DIM, metric=METRIC, seed=7, query_seed=8)[1]])
+        1, N_EVAL, DIM, metric=METRIC, seed=7, query_seed=8, **WORLD)[1]])
 
     log("== ground truth (exact) ==")
     gt_i, gt_d = _cached(f"{key}_gtw{N_EVAL}", lambda: list(reversed(

@@ -56,7 +56,7 @@ def main():
         cap, Ls, qbmax = 24, (50, 100), 256
     else:
         cap, Ls, qbmax = 64, (50, 100, 200, 400), 4096
-        key = "t2i1m_v2_1000000_200000_128"
+        key = "t2i1m_v3_1000000_200000_128"
 
         def loadz(name):
             with np.load(os.path.join(CACHE, name + ".npz")) as z:

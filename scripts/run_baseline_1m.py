@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, ".bench_cache")
-KEY = "t2i1m_v2_1000000_200000_128"
+KEY = "t2i1m_v3_1000000_200000_128"
 N_EVAL = 32768
 M_SQ, M_PJBP, L_PJPQ = 64, 32, 128
 
@@ -42,7 +42,7 @@ def main():
     from mysteryann_tpu.io.formats import write_knn_ibin
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--workdir", default="/tmp/parity1m")
+    ap.add_argument("--workdir", default="/tmp/baseline_v3")
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--Ls", default="50,100,150,250,400,700,1000")
     args = ap.parse_args()

@@ -55,7 +55,7 @@ def main():
     from mysteryann_tpu.utils.params import BuildConfig
     from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
 
-    key = "t2i1m_v2_1000000_200000_128"
+    key = "t2i1m_v3_1000000_200000_128"
 
     def loadz(name):
         with np.load(os.path.join(CACHE, name + ".npz")) as z:
