@@ -117,6 +117,11 @@ class FlatIndex:
             queries = np.asarray(queries, np.float32)
         q = prepare_vectors(queries, self.metric)
         nq, d = q.shape
+        if nq == 0:
+            e_i = np.empty((0, k), np.int32)
+            e_d = np.empty((0, k), np.float32)
+            return (jnp.asarray(e_i), jnp.asarray(e_d)) if device_out \
+                else (e_i, e_d)
         qb = min(query_batch, nq)
         pad = (-nq) % qb
         if pad:
@@ -128,13 +133,15 @@ class FlatIndex:
             if self.precision == "int8":
                 if self.int8_scale == "global":
                     q_i8, _ = quantize_rows_int8(qs)
-                    ii = int8_global_knn_device(q_i8, self.base_i8, k=kk,
-                                                tile=self.tile)
+                    ii = int8_global_knn_device(
+                        q_i8, self.base_i8, k=kk, tile=self.tile,
+                        recall_target=self.recall_target)
                 else:
                     _, ii = int8_knn_device(
                         qs, self.base_i8, self.base_scale, k=kk,
                         metric=self.metric, tile=self.tile,
-                        base_norm=self.base_norm)
+                        base_norm=self.base_norm,
+                        recall_target=self.recall_target)
                 dd, ii = _rerank_f32(self.base, qs,
                                      jnp.maximum(ii, 0), k, self.metric)
                 outs.append((ii, dd))

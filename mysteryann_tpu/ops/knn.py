@@ -27,6 +27,16 @@ from mysteryann_tpu.ops.distances import Metric, pairwise_dist, prepare_vectors
 _INF = jnp.float32(jnp.inf)
 
 
+def _merge_topk(best, t_d, t_i, k: int):
+    """Fold a tile's (dists, ids) into the running top-k — the tiny
+    exact [B, k+kk] merge shared by every scan kernel here."""
+    best_d, best_i = best
+    cat_d = jnp.concatenate([best_d, t_d], axis=1)
+    cat_i = jnp.concatenate([best_i, t_i], axis=1)
+    neg, pos = jax.lax.top_k(-cat_d, k)
+    return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k", "metric", "tile", "approx",
                                    "precision", "recall_target"))
 def exact_knn_device(
@@ -68,38 +78,34 @@ def exact_knn_device(
         neg_vals, pos = jax.lax.top_k(-dists, kk)
         return -neg_vals, pos
 
-    def merge(best, t_d, t_i):
-        best_d, best_i = best
-        cat_d = jnp.concatenate([best_d, t_d], axis=1)
-        cat_i = jnp.concatenate([best_i, t_i], axis=1)
-        neg, pos = jax.lax.top_k(-cat_d, k)
-        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
-
-    init = (
+    best = (
         jnp.full((queries.shape[0], k), _INF, jnp.float32),
         jnp.full((queries.shape[0], k), -1, jnp.int32),
     )
-
-    best = init
     if n_full:
-        base_t = base[: n_full * tile].reshape(n_full, tile, d)
-
-        def step(carry, inp):
-            tile_b, t_idx = inp
+        # scan TILE INDICES and slice the loop-invariant table — tiling
+        # the table itself as scan xs makes XLA copy the whole thing
+        # into the loop buffer (2x table HBM; fatal past ~HBM/2), see
+        # int8_global_knn_device
+        def step(carry, t_idx):
+            tile_b = jax.lax.dynamic_slice_in_dim(
+                base, t_idx * tile, tile, 0)
             dists = pairwise_dist(queries, tile_b, metric=metric,
                                   precision=precision)
             t_d, t_pos = tile_select(dists, kk)           # [B, kk]
-            return merge(carry, t_d,
-                         t_pos.astype(jnp.int32) + t_idx * tile), None
+            return _merge_topk(carry, t_d,
+                               t_pos.astype(jnp.int32) + t_idx * tile,
+                               k), None
 
-        best, _ = jax.lax.scan(
-            step, init, (base_t, jnp.arange(n_full, dtype=jnp.int32)))
+        best, _ = jax.lax.scan(step, best,
+                               jnp.arange(n_full, dtype=jnp.int32))
 
     if rem:
         dists = pairwise_dist(queries, base[n_full * tile:], metric=metric,
                               precision=precision)
         t_d, t_pos = tile_select(dists, min(k, rem))
-        best = merge(best, t_d, t_pos.astype(jnp.int32) + n_full * tile)
+        best = _merge_topk(best, t_d,
+                           t_pos.astype(jnp.int32) + n_full * tile, k)
 
     return best
 
@@ -181,12 +187,13 @@ def quantize_global_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q, scale.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
+@partial(jax.jit, static_argnames=("k", "tile", "recall_target"))
 def int8_global_knn_device(
     q_i8: jax.Array,        # int8 [B, d] (per-row query quantization is
     base_i8: jax.Array,     #              order-preserving; base is global)
     k: int,
     tile: int = 262144,
+    recall_target: float = 0.95,
 ) -> jax.Array:
     """Candidate ids [B, k] via a fusion-clean global-scale int8 scan.
 
@@ -203,13 +210,6 @@ def int8_global_knn_device(
     kk = min(k, tile)
     B = q_i8.shape[0]
 
-    def merge(best, t_d, t_i):
-        best_d, best_i = best
-        cat_d = jnp.concatenate([best_d, t_d], axis=1)
-        cat_i = jnp.concatenate([best_i, t_i], axis=1)
-        neg, pos = jax.lax.top_k(-cat_d, k)
-        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
-
     best = (jnp.full((B, k), _INF, jnp.float32),
             jnp.full((B, k), -1, jnp.int32))
     if n_full:
@@ -222,9 +222,12 @@ def int8_global_knn_device(
             s32 = jax.lax.dot_general(
                 q_i8, tile_b, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            t_d, t_pos = jax.lax.approx_min_k(-s32.astype(jnp.float32), k=kk)
-            return merge(carry, t_d,
-                         t_pos.astype(jnp.int32) + t_idx * tile), None
+            t_d, t_pos = jax.lax.approx_min_k(
+                -s32.astype(jnp.float32), k=kk,
+                recall_target=recall_target)
+            return _merge_topk(carry, t_d,
+                               t_pos.astype(jnp.int32) + t_idx * tile,
+                               k), None
         best, _ = jax.lax.scan(step, best,
                                jnp.arange(n_full, dtype=jnp.int32))
     if rem:
@@ -232,12 +235,14 @@ def int8_global_knn_device(
             q_i8, base_i8[n_full * tile:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
         t_d, t_pos = jax.lax.approx_min_k(-s32.astype(jnp.float32),
-                                          k=min(k, rem))
-        best = merge(best, t_d, t_pos.astype(jnp.int32) + n_full * tile)
+                                          k=min(k, rem),
+                                          recall_target=recall_target)
+        best = _merge_topk(best, t_d,
+                           t_pos.astype(jnp.int32) + n_full * tile, k)
     return best[1]
 
 
-@partial(jax.jit, static_argnames=("k", "metric", "tile"))
+@partial(jax.jit, static_argnames=("k", "metric", "tile", "recall_target"))
 def int8_knn_device(
     queries: jax.Array,      # f32 [B, d] (metric-preprocessed)
     base_i8: jax.Array,      # int8 [N, d]
@@ -246,6 +251,7 @@ def int8_knn_device(
     metric: Metric = Metric.IP,
     tile: int = 131072,
     base_norm: jax.Array | None = None,   # f32 [N] ||b||² (L2 only)
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate kNN via an int8 MXU scan (s8 x s8 → s32 at 2x the bf16
     rate, and 4x less HBM traffic than an f32 scan). Same tiled running
@@ -277,45 +283,41 @@ def int8_knn_device(
             return -ip
         return q_sq - 2.0 * ip + tile_n[None, :]
 
-    def merge(best, t_d, t_i):
-        best_d, best_i = best
-        cat_d = jnp.concatenate([best_d, t_d], axis=1)
-        cat_i = jnp.concatenate([best_i, t_i], axis=1)
-        neg, pos = jax.lax.top_k(-cat_d, k)
-        return -neg, jnp.take_along_axis(cat_i, pos, axis=1)
-
     best = (
         jnp.full((queries.shape[0], k), _INF, jnp.float32),
         jnp.full((queries.shape[0], k), -1, jnp.int32),
     )
-    zero_norm = jnp.zeros((1,), jnp.float32)
     if n_full:
-        sl = n_full * tile
-
-        def step(carry, inp):
-            tile_b, tile_s, tile_n, t_idx = inp
+        # scan TILE INDICES; slice the loop-invariant tables (see
+        # int8_global_knn_device — xs-tiling copies the whole table).
+        # base_norm is None only off the L2 path (guard above), where
+        # block_dists never reads tile_n — pass a tile-sized zeros
+        # constant, not an N-sized broadcast.
+        def step(carry, t_idx):
+            lo = t_idx * tile
+            tile_b = jax.lax.dynamic_slice_in_dim(base_i8, lo, tile, 0)
+            tile_s = jax.lax.dynamic_slice_in_dim(base_scale, lo, tile, 0)
+            tile_n = (jax.lax.dynamic_slice_in_dim(base_norm, lo, tile, 0)
+                      if base_norm is not None
+                      else jnp.zeros((tile,), jnp.float32))
             dists = block_dists(tile_b, tile_s, tile_n)
             # no elementwise mask between the block and the selection —
             # see exact_knn_device (fusion-breaking materialization)
-            t_d, t_pos = jax.lax.approx_min_k(dists, k=kk)
-            return merge(carry, t_d,
-                         t_pos.astype(jnp.int32) + t_idx * tile), None
+            t_d, t_pos = jax.lax.approx_min_k(dists, k=kk,
+                                              recall_target=recall_target)
+            return _merge_topk(carry, t_d,
+                               t_pos.astype(jnp.int32) + lo, k), None
 
-        norm_t = (base_norm[:sl].reshape(n_full, tile)
-                  if base_norm is not None
-                  else jnp.broadcast_to(zero_norm, (n_full, tile)))
-        best, _ = jax.lax.scan(
-            step, best,
-            (base_i8[:sl].reshape(n_full, tile, d),
-             base_scale[:sl].reshape(n_full, tile), norm_t,
-             jnp.arange(n_full, dtype=jnp.int32)))
+        best, _ = jax.lax.scan(step, best,
+                               jnp.arange(n_full, dtype=jnp.int32))
 
     if rem:
         sl = n_full * tile
         norm_r = (base_norm[sl:] if base_norm is not None
-                  else jnp.broadcast_to(zero_norm, (rem,)))
+                  else jnp.zeros((rem,), jnp.float32))
         dists = block_dists(base_i8[sl:], base_scale[sl:], norm_r)
-        t_d, t_pos = jax.lax.approx_min_k(dists, k=min(k, rem))
-        best = merge(best, t_d, t_pos.astype(jnp.int32) + sl)
+        t_d, t_pos = jax.lax.approx_min_k(dists, k=min(k, rem),
+                                          recall_target=recall_target)
+        best = _merge_topk(best, t_d, t_pos.astype(jnp.int32) + sl, k)
 
     return best

@@ -11,6 +11,7 @@ merged into the global top-k. This is the TPU-KNN-paper decomposition
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -36,9 +37,21 @@ def sharded_exact_knn(
     n = base.shape[0]
     mp = mesh.shape["mp"]
     if n % mp or queries.shape[0] % mesh.shape["dp"]:
-        raise ValueError("Q must divide dp and N must divide mp "
+        raise ValueError("dp must divide Q and mp must divide N "
                          f"(got Q={queries.shape[0]}, N={n}, mesh={dict(mesh.shape)})")
     shard_n = n // mp
+    fn = _sharded_knn_fn(mesh, k, metric, tile, shard_n)
+    q = jax.device_put(queries, NamedSharding(mesh, P("dp", None)))
+    b = jax.device_put(base, NamedSharding(mesh, P("mp", None)))
+    return fn(q, b)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_knn_fn(mesh: Mesh, k: int, metric: Metric, tile: int,
+                    shard_n: int):
+    """Compiled shard_map'd kNN, cached per static config — callers loop
+    over many same-shape chunks (e.g. the phase-E stranded-node repair)
+    and must not re-trace every call."""
 
     def local(q_shard, b_shard):
         # local top-k against this device's base shard
@@ -53,12 +66,9 @@ def sharded_exact_knn(
         neg, pos = jax.lax.top_k(-d_all, k)
         return -neg, jnp.take_along_axis(i_all, pos, axis=1)
 
-    fn = shard_map(
+    return jax.jit(shard_map(
         local, mesh=mesh,
         in_specs=(P("dp", None), P("mp", None)),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
-    )
-    q = jax.device_put(queries, NamedSharding(mesh, P("dp", None)))
-    b = jax.device_put(base, NamedSharding(mesh, P("mp", None)))
-    return jax.jit(fn)(q, b)
+    ))

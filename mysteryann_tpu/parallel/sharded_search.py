@@ -31,6 +31,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -83,7 +84,14 @@ def distributed_beam_search(
     B = queries.shape[0]
     dp, mp = mesh.shape["dp"], mesh.shape["mp"]
     if n % mp or B % dp:
-        raise ValueError(f"N ({n}) must divide mp ({mp}); B ({B}) dp ({dp})")
+        raise ValueError(f"mp ({mp}) must divide N ({n}); dp ({dp}) "
+                         f"must divide B ({B})")
+    E = int(np.asarray(eps).shape[0])
+    if L < E:
+        # mirrors the single-chip engine's guard; without it the pool
+        # seeding pads with a negative width deep inside shard_map
+        raise ValueError(f"L ({L}) must be >= number of entry points "
+                         f"E ({E})")
     if max_hops <= 0:
         max_hops = 4 * L + 32
     fn = _dist_search_fn(mesh, n, n // mp, k, L, metric, max_hops,
