@@ -30,6 +30,9 @@ N_BASE = 10_000_000
 N_EVAL = 32_768
 DIM = 128
 K = 10
+# must match scripts/build_10m.py (the graph/eval caches are shared)
+KEY_VERSION = "v3"
+WORLD = dict(n_concepts=20_000, intrinsic_dim=48, noise=0.85)
 
 
 def log(*a):
@@ -48,10 +51,10 @@ def main():
     from mysteryann_tpu.ivf import IVFIndex
     from mysteryann_tpu.utils.metrics import compute_recall
 
-    key = f"t2i10m_v2_{N_BASE}_{DIM}"
+    key = f"t2i10m_{KEY_VERSION}_{N_BASE}_{DIM}"
     log("== data ==")
     (base,) = cached(key + "_base", lambda: [make_cross_modal(
-        N_BASE, 10, DIM, metric="ip", seed=17)[0]])
+        N_BASE, 10, DIM, metric="ip", seed=17, **WORLD)[0]])
     # eval queries: SAME seed-17 world as the base (the old `seed=18`
     # eval was an unrelated synthetic world — near-isotropic w.r.t.
     # this base, not the advertised cross-modal workload). Reuse
@@ -64,7 +67,8 @@ def main():
             eval_q = z["eval"]
     else:
         (eval_q,) = cached(f"{key}_evalw{N_EVAL}", lambda: [make_cross_modal(
-            1, N_EVAL, DIM, metric="ip", seed=17, query_seed=18)[1]])
+            1, N_EVAL, DIM, metric="ip", seed=17, query_seed=18,
+            **WORLD)[1]])
 
     log("== exact GT ==")
     # exact top_k does not fuse with the matmul, so the [qb, tile] f32

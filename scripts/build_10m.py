@@ -44,6 +44,11 @@ DIM = 128
 K = 10
 M_SQ, M_PJBP, L_PJPQ = 64, 32, 128
 N_EVAL = 32_768
+# v3 = the difficulty-calibrated world (same geometry as bench.py's 1M
+# slice; see BASELINE.md "Workload history") — the 10M regime should
+# exercise the reference's real difficulty band too
+KEY_VERSION = "v3"
+WORLD = dict(n_concepts=20_000, intrinsic_dim=48, noise=0.85)
 
 
 def log(*a):
@@ -74,7 +79,7 @@ def main():
     from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
 
     n, ntr = args.n_base, args.n_train
-    key = f"t2i10m_v2_{n}_{DIM}"
+    key = f"t2i10m_{KEY_VERSION}_{n}_{DIM}"
     gkey = f"{key}_graph{ntr}"
 
     log("== data (regenerate base manifold + same-distribution queries) ==")
@@ -88,7 +93,7 @@ def main():
             train_q, eval_q = z["train"], z["eval"]
     else:
         base, queries = make_cross_modal(n, ntr + N_EVAL, DIM, metric="ip",
-                                         seed=17)
+                                         seed=17, **WORLD)
         if os.path.exists(base_path):
             with np.load(base_path) as z:
                 ref = z[z.files[0]]

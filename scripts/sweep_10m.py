@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--query_batch", type=int, default=8192)
     args = ap.parse_args()
     n, ntr = args.n_base, args.n_train
-    key = f"t2i10m_v2_{n}_{DIM}"
+    key = f"t2i10m_v3_{n}_{DIM}"  # must match scripts/build_10m.py
     gkey = f"{key}_graph{ntr}"
 
     from mysteryann_tpu.graph import RoarGraphIndex
