@@ -179,7 +179,7 @@ class FlatIndex:
         dt = time.perf_counter() - t0
         return {
             "qps": q.shape[0] / dt,
-            "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
+            "mean_latency_ms": 1000.0 * dt / max(1, -(-q.shape[0] // qb)),
             "avg_cmps": float(self.n_base),
             "avg_hops": 0.0,
             "ids": np.asarray(ids).astype(np.int32), "dists": np.asarray(dists),

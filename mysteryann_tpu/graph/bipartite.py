@@ -239,6 +239,12 @@ class BipartiteSearcher:
             # queries at the reference's M_pjbp=35, d=512
             budget = (1 << 25) // max(1, qb * d)  # rows of the fan-out
             two_hop_chunk = max(1, min(M, budget // max(1, M)))
+            # bitmask dedup additionally builds a [qb, F, F] same-word
+            # broadcast with F = c*M (beam._scatter_or_bits) — bound
+            # that to ~128 MB too, or it silently doubles peak memory
+            f_max = int(((1 << 27) // max(1, qb)) ** 0.5)
+            two_hop_chunk = max(1, min(two_hop_chunk,
+                                       f_max // max(1, M)))
         outs = []
         for s in range(0, nq + pad, qb):
             outs.append(beam_search(

@@ -599,7 +599,7 @@ class IVFIndex:
         ids = ids.astype(np.int32)
         return {
             "qps": q.shape[0] / dt,
-            "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
+            "mean_latency_ms": 1000.0 * dt / max(1, -(-q.shape[0] // qb)),
             "avg_cmps": float(nprobe * self.cap + self.n_clusters),
             "avg_hops": float(nprobe),
             "nprobe": nprobe,

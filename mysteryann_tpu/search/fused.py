@@ -569,5 +569,5 @@ class FusedSearcher:
         ids, dists, cmps, hops = (np.asarray(o) for o in out)
         return {"L_pq": L, "k": k, "qps": q.shape[0] / dt,
                 "avg_cmps": float(cmps.mean()), "avg_hops": float(hops.mean()),
-                "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
+                "mean_latency_ms": 1000.0 * dt / max(1, -(-q.shape[0] // qb)),
                 "ids": ids.astype(np.int32), "dists": dists}

@@ -63,16 +63,20 @@ class Searcher:
         outs = []
         for s in range(0, nq + pad, qb):
             qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
-            seed_ids = seed_d = None
+            seed_ids = None
             if seeds:
-                seed_ids, seed_d = seed_scan(
+                # seed_d stays None: the scan's distances carry
+                # bf16-matmul error and (unlike the fused engine) there
+                # is no final rerank here — beam_search rescores the
+                # seeds in f32, so reported dists stay exact
+                seed_ids, _ = seed_scan(
                     *self._samp, qs, n_seeds=seeds, metric=self.metric)
             r = beam_search(self.base, self.neighbors, self.eps,
                             qs,
                             k=k, L=L, metric=self.metric,
                             expand=expand,
                             visited_mode=visited_mode,
-                            seed_ids=seed_ids, seed_d=seed_d)
+                            seed_ids=seed_ids)
             outs.append(r)
         if device_out:
             if len(outs) == 1:
@@ -116,6 +120,6 @@ class Searcher:
             "qps": q.shape[0] / dt,
             "avg_cmps": float(cmps.mean()),
             "avg_hops": float(hops.mean()),
-            "mean_latency_ms": 1000.0 * dt / max(1, q.shape[0] // qb),
+            "mean_latency_ms": 1000.0 * dt / max(1, -(-q.shape[0] // qb)),
             "ids": ids.astype(np.int32), "dists": dists,
         }

@@ -31,7 +31,10 @@ def make_seed_sample(base_dev: jax.Array, rate: int
     base, kept in bf16: (sample [S, d] bf16, row norms [S] f32, ids [S])."""
     n = base_dev.shape[0]
     ids = np.arange(0, n, rate, dtype=np.int32)
-    samp = base_dev[jnp.asarray(ids)]
+    # strided slice, NOT a fancy-index gather: the latter lowers to
+    # XLA's ~1.7 GB/s serial row gather (a multi-second stall at 50M)
+    samp = jax.lax.slice(base_dev, (0, 0), (n, base_dev.shape[1]),
+                         (rate, 1))
     return (samp.astype(jnp.bfloat16), jnp.sum(samp * samp, axis=1),
             jnp.asarray(ids))
 
@@ -44,6 +47,12 @@ def seed_scan(samp, samp_sq, samp_ids, q, n_seeds: int, metric: Metric):
     if metric in (Metric.IP, Metric.COSINE):
         dist = -ip
     else:
-        dist = jnp.sum(q * q, axis=1, keepdims=True) - 2.0 * ip + samp_sq
+        # clamp: the bf16 ip can push ||q-s||² ulp-negative for a query
+        # equal to a sampled point
+        dist = jnp.maximum(
+            jnp.sum(q * q, axis=1, keepdims=True) - 2.0 * ip + samp_sq, 0.0)
     vals, idx = jax.lax.approx_min_k(dist, n_seeds)
+    # NOTE: vals carry bf16-matmul error. The fused engine ignores this
+    # (its final f32 rerank rescores everything); the classic engine
+    # passes seed_d=None so beam_search rescores seeds in f32.
     return jnp.take(samp_ids, idx), vals

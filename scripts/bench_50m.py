@@ -78,7 +78,11 @@ def main():
     from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
     from mysteryann_tpu.utils.fence import fence
 
-    spec = CrossModalDeviceSpec(DIM, metric="ip", seed=SEED)
+    # v3 world geometry (difficulty calibrated at 1M against the
+    # reference binary — BASELINE.md "Workload history"); the
+    # device-spec draws are a threefry sibling of the host family
+    spec = CrossModalDeviceSpec(DIM, n_concepts=20_000, intrinsic_dim=48,
+                                noise=0.85, metric="ip", seed=SEED)
     tile = min(args.tile, n)
     eval_q = spec.rows(jnp.arange(N_EVAL, dtype=jnp.int32), query_side=True)
     eval_q = jax.device_put(eval_q)
@@ -104,7 +108,7 @@ def main():
     # distribution) win per-tile top-K slots before the gid>=n mask,
     # evicting true tail-resident neighbors from the cached GT.
     os.makedirs(CACHE, exist_ok=True)
-    gt_path = os.path.join(CACHE, f"synth50m_{n}_{DIM}_gtv2_{N_EVAL}.npz")
+    gt_path = os.path.join(CACHE, f"synth50m_v3_{n}_{DIM}_gtv2_{N_EVAL}.npz")
     if os.path.exists(gt_path):
         with np.load(gt_path) as z:
             gt_i, gt_d = z["ids"].astype(np.int64), z["dists"]
@@ -175,7 +179,7 @@ def main():
     t0 = time.time()
     idx = build_ivf_streaming(spec.base_tile, n, DIM, metric="ip",
                               tile=tile, seed=SEED, rows_fn=spec.rows,
-                              assign_cache=os.path.join(CACHE, "synth50m"),
+                              assign_cache=os.path.join(CACHE, "synth50m_v3"),
                               verbose=True)
     ivf_build_s = round(time.time() - t0, 1)
 
