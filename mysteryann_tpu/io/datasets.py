@@ -18,13 +18,14 @@ the right size are kept).
 from __future__ import annotations
 
 import dataclasses
+import http.client
 import os
 import urllib.request
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from mysteryann_tpu.io.formats import read_meta
+from mysteryann_tpu.io.formats import _HEADER, read_gt_with_dist, read_meta
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,7 +138,7 @@ def export_fbin_from_npy(npy_paths: Sequence[str], out_path: str,
                              f"dim {dim}")
     npts = int(sum(m.shape[0] for m in mms))
     with open(out_path, "wb") as f:
-        f.write(np.asarray([npts, dim], np.uint32).tobytes())
+        f.write(_HEADER.pack(npts, dim))
         for m in mms:
             for s in range(0, m.shape[0], chunk_rows):
                 block = np.asarray(m[s:s + chunk_rows], np.float32)
@@ -200,10 +201,17 @@ def _download(remote: RemoteFile, dest: str, verbose: bool = True) -> None:
             f.write(block)
     if rng is not None:
         # the Range download trims the file mid-payload; rewrite the
-        # header so npts matches the truncated row count
+        # header so npts matches the truncated row count. The size MUST
+        # be checked first: a server that clamps/ignores Range can
+        # return fewer bytes with a clean EOF, and truncate() would
+        # zero-EXTEND the short file into a corrupt dataset that passes
+        # every later size check.
+        got = os.path.getsize(tmp)
+        if got < rng:
+            raise OSError(f"{remote.url}: short Range download "
+                          f"({got} < {rng} bytes)")
         with open(tmp, "r+b") as f:
-            f.write(np.asarray(
-                [remote.head_points, remote.dim], np.uint32).tobytes())
+            f.write(_HEADER.pack(remote.head_points, remote.dim))
             f.truncate(rng)
     os.replace(tmp, dest)
 
@@ -231,7 +239,10 @@ def prepare(dataset: str, data_dir: str = "data",
     for r in missing:
         try:
             _download(r, os.path.join(ddir, r.filename), verbose=verbose)
-        except OSError as e:
+        except (OSError, http.client.HTTPException) as e:
+            # http.client errors (IncompleteRead, ...) are NOT OSError;
+            # every transfer failure must land in the manual-staging
+            # list rather than abort the batch
             failed.append(f"{r.url} -> {ddir}/{r.filename} ({e})")
     if failed:
         raise RuntimeError(
@@ -250,7 +261,8 @@ def prepare(dataset: str, data_dir: str = "data",
                 [os.path.join(ddir, f"text_emb_{i}.npy")
                  for i in LAION_SHARDS], train_out)
 
-    # validate whatever is present
+    # validate whatever is present (read_meta checks header vs file
+    # size, catching truncated out-of-band staging)
     for fname in (spec.base_file, spec.train_query_file,
                   spec.eval_query_file):
         path = os.path.join(ddir, fname)
@@ -258,4 +270,8 @@ def prepare(dataset: str, data_dir: str = "data",
             n, d = read_meta(path)
             if d != spec.dim:
                 raise RuntimeError(f"{path}: dim {d} != expected {spec.dim}")
+    if spec.gt_file:
+        path = os.path.join(ddir, spec.gt_file)
+        if os.path.exists(path):
+            read_gt_with_dist(path)  # size-validates the GT layout too
     return spec

@@ -23,6 +23,11 @@ def stream_fbin(path: str, chunk_rows: int = 262144,
     """Yield (start_row, chunk [rows<=chunk_rows, d]) over an fbin/ibin
     file. Disk IO for chunk i+1 overlaps consumption of chunk i."""
     elt = np.dtype(dtype).itemsize
+    if elt == 4:
+        # header-vs-file-size validation runs on BOTH paths (the native
+        # opener only reads the 8-byte header, so a file with trailing
+        # bytes would stream fine natively but fail the python fallback)
+        read_meta(path)
     L = native.lib()
     if L is None:
         n, d = read_meta(path)

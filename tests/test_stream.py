@@ -45,3 +45,18 @@ def test_stream_python_fallback(tmp_path, monkeypatch):
     write_fbin(p, a)
     got = np.concatenate([c for _, c in stream_fbin(p, chunk_rows=33)])
     np.testing.assert_array_equal(got, a)
+
+
+def test_stream_rejects_trailing_bytes(tmp_path):
+    # native and python paths must BOTH reject a corrupt file (the
+    # native opener reads only the header, so validation lives in
+    # stream_fbin itself)
+    import pytest
+    from mysteryann_tpu.io import write_fbin
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "bad.fbin")
+    write_fbin(p, rng.standard_normal((50, 8)).astype(np.float32))
+    with open(p, "ab") as f:
+        f.write(b"\x00" * 12)
+    with pytest.raises(ValueError, match="bytes"):
+        list(stream_fbin(p, chunk_rows=16))
