@@ -87,8 +87,10 @@ def batched_occlusion_prune(
         [jnp.zeros((B, 1), jnp.bool_), id_s[:, 1:] == id_s[:, :-1]], axis=1)
     valid_s = valid_s & ~dup
 
-    # candidate-pairwise distances [B, C, C] — one batched MXU contraction
-    flat_ids = jnp.minimum(id_s, n - 1).reshape(-1)
+    # candidate-pairwise distances [B, C, C] — one batched MXU contraction.
+    # clip BOTH ends: the valid mask admits negative ids as input, and
+    # the pallas gather's contract is indices in [0, N)
+    flat_ids = jnp.clip(id_s, 0, n - 1).reshape(-1)
     if gather_fn is None:
         vecs = gather_rows_any(base, flat_ids)
     else:
@@ -123,10 +125,13 @@ def batched_occlusion_prune(
     kept0 = jnp.zeros((B, C), jnp.bool_).at[
         b_iota, jnp.where(has0, j0, C)].set(True, mode="drop")
     # pass 1 never revisits entries before the seed (reference
-    # :1857-1866: the seed-skip `while` advances past them permanently)
+    # :1857-1866: the seed-skip `while` advances past them permanently).
+    # A row with NO seedable candidate keeps nothing in pass 1 — the
+    # reference's skip loop runs off the end (pre_seed covers every
+    # position then, excluding all not-seedable entries)
     valid_all = valid_s
-    valid_s = valid_s & ~(seedblk_s & (pos < j0[:, None])
-                          & has0[:, None])
+    pre_seed = jnp.where(has0[:, None], pos < j0[:, None], True)
+    valid_s = valid_s & ~(seedblk_s & pre_seed)
     pd0 = jnp.take_along_axis(pd, j0[:, None, None], axis=1)[:, 0]
     occ0 = has0[:, None] & (pd0 < d_s)
 
@@ -156,10 +161,13 @@ def batched_occlusion_prune(
         kept, occ, cnt = jax.lax.fori_loop(
             0, cap, make_keep_step(valid_all), (kept, occ, cnt))
 
-    # order: kept candidates (sorted) first, then (if fill) valid non-kept
+    # order: kept candidates (sorted) first, then (if fill) valid
+    # non-kept — drawn from the FULL valid set (the reference's fill
+    # pass :1685-1691 iterates every candidate; pre-seed-skipped
+    # entries are fillable even though pass 1 could not keep them)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
     if fill:
-        key = jnp.where(kept, pos, jnp.where(valid_s, pos + C, 2 * C))
+        key = jnp.where(kept, pos, jnp.where(valid_all, pos + C, 2 * C))
     else:
         key = jnp.where(kept, pos, 2 * C)
     order_key, out_ids = jax.lax.sort((key, id_s), dimension=-1, num_keys=1)
@@ -177,7 +185,7 @@ def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array,
     """distance(candidate[b, c], src[b]) for prune inputs; [B, C]."""
     metric = Metric.parse(metric)
     n = base.shape[0] if base is not None else n_base
-    flat = jnp.minimum(cand_ids, n - 1).reshape(-1)
+    flat = jnp.clip(cand_ids, 0, n - 1).reshape(-1)
     vecs = (gather_rows_any(base, flat) if gather_fn is None
             else gather_fn(flat)).reshape(
         cand_ids.shape + (src_vecs.shape[-1],))
@@ -189,4 +197,4 @@ def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array,
         sq_c = jnp.sum(vecs * vecs, axis=-1)
         sq_s = jnp.sum(src_vecs * src_vecs, axis=-1, keepdims=True)
         d = jnp.maximum(sq_c - 2.0 * ip + sq_s, 0.0)
-    return jnp.where(cand_ids < n, d, _INF)
+    return jnp.where((cand_ids >= 0) & (cand_ids < n), d, _INF)

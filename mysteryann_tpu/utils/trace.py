@@ -56,21 +56,27 @@ class Tracer:
             self.counters[name] = self.counters.get(name, 0.0) + value
 
     def summary(self) -> Dict[str, Any]:
+        with self._lock:  # writers hold it; readers must too
+            events = list(self.events)
+            counters = dict(self.counters)
         by_name: Dict[str, List[float]] = {}
-        for e in self.events:
+        for e in events:
             by_name.setdefault(e["name"], []).append(e["dur_s"])
         return {
             "spans": {k: {"n": len(v), "total_s": round(sum(v), 4),
                           "max_s": round(max(v), 4)}
                       for k, v in by_name.items()},
-            "counters": dict(self.counters),
+            "counters": counters,
         }
 
     def dump(self, path: str) -> None:
+        with self._lock:
+            events = list(self.events)
+            counters = dict(self.counters)
         with open(path, "w") as f:
-            for e in self.events:
+            for e in events:
                 f.write(json.dumps(e) + "\n")
-            f.write(json.dumps({"counters": self.counters}) + "\n")
+            f.write(json.dumps({"counters": counters}) + "\n")
 
     def reset(self) -> None:
         with self._lock:

@@ -148,3 +148,32 @@ def test_prune_degree_bound_and_dedup(rng):
         assert 0 not in got                        # src excluded
         assert len(got) <= cap
         assert set(got) <= {5, 7, 9, 11, 13, 15, 17, 19}
+
+
+def test_prune_all_not_seedable_keeps_nothing_pass1():
+    """A row with NO seedable candidate keeps nothing in pass 1 (the
+    reference's seed-skip while loop runs off the end); pass 2 readmits,
+    and the fill pass can still draw from the skipped candidates."""
+    n, d, cap = 10, 2, 3
+    base = np.zeros((n, d), np.float32)
+    base[0] = [0.0, 0.0]
+    base[1] = [1.0, 0.0]
+    base[2] = [0.0, 2.0]
+    cand = np.array([[1, 2]], np.int32)
+    ns = np.array([[True, True]])        # everything pre-seeded
+    src_vecs = base[[0]]
+    cd, _ = _device_dists(src_vecs, cand, base, Metric.L2)
+    common = dict(cap=cap, metric=Metric.L2,
+                  not_seedable=jnp.array(ns))
+    one, cnt1 = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array([np.int32(0)]), jnp.array(cand),
+        jnp.array(cd), jnp.array(base), fill=False, **common)
+    assert int(cnt1[0]) == 0, np.asarray(one)
+    two, cnt2 = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array([np.int32(0)]), jnp.array(cand),
+        jnp.array(cd), jnp.array(base), fill=False, two_pass=True, **common)
+    assert [int(x) for x in np.asarray(two)[0] if x < n] == [1, 2]
+    filled, cntf = batched_occlusion_prune(
+        jnp.array(src_vecs), jnp.array([np.int32(0)]), jnp.array(cand),
+        jnp.array(cd), jnp.array(base), fill=True, **common)
+    assert int(cntf[0]) == 2  # fill draws from the full valid set
