@@ -60,6 +60,7 @@ def batched_occlusion_prune(
     two_pass: bool = False,
     gather_fn=None,          # flat ids [K] -> vecs [K, d]; default = base
     n_base: int = 0,         # N when base is None (sharded callers)
+    cand_vecs: jax.Array | None = None,  # f32 [B, C], pre-gathered rows
 ) -> Tuple[jax.Array, jax.Array]:
     """Return (pruned_ids i32 [B, cap] sentinel-padded, counts i32 [B]).
 
@@ -67,6 +68,13 @@ def batched_occlusion_prune(
     callers (parallel.sharded_build — base row-sharded over ``mp``,
     vectors fetched by owner-masked psum) run the IDENTICAL keep-scan:
     exact single-device/sharded agreement holds by construction.
+
+    ``cand_vecs`` ([B, C, d], aligned with ``cand_ids``) reuses the
+    candidate rows a caller already fetched (dists_to_src
+    ``return_vecs=True``): the HBM row gather is the descriptor-bound
+    cost of the prune phases, and without this every batch fetched the
+    same B*C rows twice. The in-tensor reorder by the sort permutation
+    yields bit-identical vectors to a post-sort gather.
     """
     metric = Metric.parse(metric)
     n = base.shape[0] if base is not None else n_base
@@ -78,9 +86,12 @@ def batched_occlusion_prune(
     seed_block = (jnp.zeros((B, C), jnp.bool_)
                   if not_seedable is None else not_seedable)
 
-    # sort by (dist, id); invalid slots sink to the end
-    d_s, id_s, seedblk_s = jax.lax.sort(
-        (d_sorted_key, cand_ids, seed_block), dimension=-1, num_keys=2)
+    # sort by (dist, id); invalid slots sink to the end. The iota rides
+    # along as the permutation for reordering pre-gathered vectors.
+    perm0 = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    d_s, id_s, seedblk_s, perm = jax.lax.sort(
+        (d_sorted_key, cand_ids, seed_block, perm0),
+        dimension=-1, num_keys=2)
     valid_s = jnp.isfinite(d_s)
     # dedup: same id ⇒ same dist ⇒ adjacent after the sort
     dup = jnp.concatenate(
@@ -90,12 +101,15 @@ def batched_occlusion_prune(
     # candidate-pairwise distances [B, C, C] — one batched MXU contraction.
     # clip BOTH ends: the valid mask admits negative ids as input, and
     # the pallas gather's contract is indices in [0, N)
-    flat_ids = jnp.clip(id_s, 0, n - 1).reshape(-1)
-    if gather_fn is None:
-        vecs = gather_rows_any(base, flat_ids)
+    if cand_vecs is not None:
+        vecs = jnp.take_along_axis(cand_vecs, perm[:, :, None], axis=1)
     else:
-        vecs = gather_fn(flat_ids)
-    vecs = vecs.reshape(B, C, vecs.shape[-1])                     # [B, C, d]
+        flat_ids = jnp.clip(id_s, 0, n - 1).reshape(-1)
+        if gather_fn is None:
+            vecs = gather_rows_any(base, flat_ids)
+        else:
+            vecs = gather_fn(flat_ids)
+        vecs = vecs.reshape(B, C, vecs.shape[-1])                 # [B, C, d]
     ip = jnp.einsum("bcd,bed->bce", vecs, vecs,
                     preferred_element_type=jnp.float32)
     if metric in (Metric.IP, Metric.COSINE):
@@ -177,12 +191,18 @@ def batched_occlusion_prune(
     return out_ids, counts
 
 
-@partial(jax.jit, static_argnames=("metric", "gather_fn", "n_base"))
+@partial(jax.jit, static_argnames=("metric", "gather_fn", "n_base",
+                                   "return_vecs"))
 def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array,
                  base: jax.Array | None,
                  metric: Metric = Metric.IP, gather_fn=None,
-                 n_base: int = 0) -> jax.Array:
-    """distance(candidate[b, c], src[b]) for prune inputs; [B, C]."""
+                 n_base: int = 0, return_vecs: bool = False):
+    """distance(candidate[b, c], src[b]) for prune inputs; [B, C].
+
+    ``return_vecs=True`` also returns the gathered candidate rows
+    [B, C, d] so the caller can hand them to `batched_occlusion_prune`
+    (``cand_vecs=``) instead of re-fetching the same rows from HBM.
+    """
     metric = Metric.parse(metric)
     n = base.shape[0] if base is not None else n_base
     flat = jnp.clip(cand_ids, 0, n - 1).reshape(-1)
@@ -197,4 +217,5 @@ def dists_to_src(src_vecs: jax.Array, cand_ids: jax.Array,
         sq_c = jnp.sum(vecs * vecs, axis=-1)
         sq_s = jnp.sum(src_vecs * src_vecs, axis=-1, keepdims=True)
         d = jnp.maximum(sq_c - 2.0 * ip + sq_s, 0.0)
-    return jnp.where((cand_ids >= 0) & (cand_ids < n), d, _INF)
+    d = jnp.where((cand_ids >= 0) & (cand_ids < n), d, _INF)
+    return (d, vecs) if return_vecs else d

@@ -334,12 +334,15 @@ def _batched_prune_rows(
         ids_j = jnp.asarray(ids_b, jnp.int32)
         cand_j = jnp.asarray(cand_b, jnp.int32)
         src_vecs = gather_rows_any(base_dev, ids_j)
-        cd = dists_to_src(src_vecs, cand_j, base_dev, metric)
+        # return_vecs: reuse the candidate rows in the prune — the HBM
+        # row gather is the descriptor-bound cost of the prune phases
+        cd, cv = dists_to_src(src_vecs, cand_j, base_dev, metric,
+                              return_vecs=True)
         pruned, _ = batched_occlusion_prune(
             src_vecs, ids_j, cand_j, cd, base_dev, cap=cap, metric=metric,
             fill=fill,
             not_seedable=None if ns_b is None else jnp.asarray(ns_b),
-            two_pass=two_pass,
+            two_pass=two_pass, cand_vecs=cv,
         )
         if return_device:
             dev_out.append(pruned[: e - s])

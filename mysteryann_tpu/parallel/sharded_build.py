@@ -122,11 +122,15 @@ def _prune_rows_fn(mesh: Mesh, shard_n: int, n: int, cap: int,
         gather = partial(_owner_gather, b_shard=b_shard, n=n,
                          shard_n=shard_n)
         src_vecs = gather(ids_b)
-        cd = dists_to_src(src_vecs, cand_b, None, metric,
-                          gather_fn=gather, n_base=n)
+        # return_vecs: the owner-masked psum gather is the expensive
+        # step here — reuse its rows in the prune
+        cd, cv = dists_to_src(src_vecs, cand_b, None, metric,
+                              gather_fn=gather, n_base=n,
+                              return_vecs=True)
         pruned, _ = batched_occlusion_prune(
             src_vecs, ids_b, cand_b, cd, None, cap=cap, metric=metric,
-            fill=fill, not_seedable=ns_b, gather_fn=gather, n_base=n)
+            fill=fill, not_seedable=ns_b, gather_fn=gather, n_base=n,
+            cand_vecs=cv)
         return pruned
 
     return jax.jit(shard_map(

@@ -177,3 +177,26 @@ def test_prune_all_not_seedable_keeps_nothing_pass1():
         jnp.array(src_vecs), jnp.array([np.int32(0)]), jnp.array(cand),
         jnp.array(cd), jnp.array(base), fill=True, **common)
     assert int(cntf[0]) == 2  # fill draws from the full valid set
+
+
+def test_prune_cand_vecs_bit_identical():
+    """Passing pre-gathered candidate rows (dists_to_src return_vecs)
+    must produce bit-identical pruning to the in-kernel gather."""
+    rng = np.random.default_rng(6)
+    n, d, B, C, cap = 500, 16, 8, 40, 8
+    base = rng.standard_normal((n, d)).astype(np.float32)
+    src = rng.integers(0, n, B).astype(np.int32)
+    cand = rng.integers(0, n, (B, C)).astype(np.int32)
+    cand[:, -3:] = n  # sentinels
+    cand[0, 0] = -1   # negative id (padded input)
+    src_vecs = jnp.asarray(base[src])
+    cd, cv = dists_to_src(src_vecs, jnp.asarray(cand), jnp.asarray(base),
+                          Metric.IP, return_vecs=True)
+    a, ca = batched_occlusion_prune(
+        src_vecs, jnp.asarray(src), jnp.asarray(cand), cd,
+        jnp.asarray(base), cap=cap, metric=Metric.IP)
+    b, cb = batched_occlusion_prune(
+        src_vecs, jnp.asarray(src), jnp.asarray(cand), cd,
+        jnp.asarray(base), cap=cap, metric=Metric.IP, cand_vecs=cv)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ca), np.asarray(cb))
