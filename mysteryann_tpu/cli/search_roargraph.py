@@ -46,6 +46,10 @@ def main(argv=None) -> int:
     index = RoarGraphIndex.load(args.projection_index_save_path,
                                 metric=args.dist or None,
                                 dim=base.shape[1])
+    if index.graph.n_nodes != base.shape[0]:
+        p.error(f"index has {index.graph.n_nodes} nodes but "
+                f"--base_data_path has {base.shape[0]} rows — wrong "
+                "corpus for this index?")
     ss = args.seed_sample or (8 if args.seeds else 0)
     if args.engine == "fused":
         from mysteryann_tpu.search.fused import FusedSearcher
@@ -58,8 +62,8 @@ def main(argv=None) -> int:
     print(result_header())
     rows = []
     for L in args.L_pq:
-        if L < args.k:
-            continue
+        if L < max(args.k, args.seeds):
+            continue  # pool must hold k results and all seed entries
         r = searcher.benchmark(queries, k=args.k, L=L,
                                query_batch=args.query_batch,
                                seeds=args.seeds, expand=args.expand)

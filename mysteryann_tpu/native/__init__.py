@@ -20,13 +20,21 @@ _tried = False
 
 
 def _build() -> bool:
+    # compile to a unique temp path + atomic rename: concurrent
+    # processes on a fresh checkout must never dlopen a half-written .so
+    tmp = f"{_SO}.tmp{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-std=c++17", "-pthread", "-shared", "-fPIC",
-             _SRC, "-o", _SO],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -37,8 +45,11 @@ def lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
+        # a shipped .so without the .cpp source is fine — rebuild only
+        # when the source exists and is newer
         if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                os.path.exists(_SRC)
+                and os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             if not _build():
                 return None
         try:
