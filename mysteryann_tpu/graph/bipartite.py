@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
-from mysteryann_tpu.search.beam import beam_search
+from mysteryann_tpu.search.beam import beam_search, run_query_batches
 from mysteryann_tpu.utils.params import BuildConfig
 from mysteryann_tpu.index import register_index
 
@@ -229,9 +229,6 @@ class BipartiteSearcher:
         q = prepare_vectors(queries, self.metric)
         nq, d = q.shape
         qb = min(query_batch, nq)
-        pad = (-nq) % qb
-        if pad:
-            q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
         M = int(self.neighbors.shape[1])
         if two_hop_chunk == 0:
             # bound the hop-2 working set ([qb, c*M, d] vector gather) to
@@ -245,24 +242,10 @@ class BipartiteSearcher:
             f_max = int(((1 << 27) // max(1, qb)) ** 0.5)
             two_hop_chunk = max(1, min(two_hop_chunk,
                                        f_max // max(1, M)))
-        outs = []
-        for s in range(0, nq + pad, qb):
-            outs.append(beam_search(
-                self.base, self.neighbors, self.eps,
-                jax.lax.dynamic_slice_in_dim(q, s, qb), k=k, L=L,
-                metric=self.metric, two_hop=True,
-                two_hop_chunk=two_hop_chunk))
-        if device_out:
-            # leave results on device (timed regions fence + download after)
-            if len(outs) == 1:
-                r = outs[0]
-                return r.ids[:nq], r.dists[:nq], r.cmps[:nq], r.hops[:nq]
-            return (jnp.concatenate([r.ids for r in outs])[:nq],
-                    jnp.concatenate([r.dists for r in outs])[:nq],
-                    jnp.concatenate([r.cmps for r in outs])[:nq],
-                    jnp.concatenate([r.hops for r in outs])[:nq])
-        out_i = np.concatenate([np.asarray(r.ids) for r in outs])[:nq]
-        out_d = np.concatenate([np.asarray(r.dists) for r in outs])[:nq]
-        out_c = np.concatenate([np.asarray(r.cmps) for r in outs])[:nq]
-        out_h = np.concatenate([np.asarray(r.hops) for r in outs])[:nq]
-        return out_i.astype(np.int32), out_d, out_c, out_h
+        def run(qs):
+            r = beam_search(self.base, self.neighbors, self.eps, qs,
+                            k=k, L=L, metric=self.metric, two_hop=True,
+                            two_hop_chunk=two_hop_chunk)
+            return r.ids, r.dists, r.cmps, r.hops
+
+        return run_query_batches(q, nq, qb, run, device_out)

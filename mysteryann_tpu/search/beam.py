@@ -381,6 +381,31 @@ def beam_search(
         hist_d=hist_d if collect_expanded > 0 else None)
 
 
+def run_query_batches(q: jax.Array, nq: int, qb: int, run,
+                      device_out: bool) -> Tuple:
+    """Shared query-batching driver: zero-pad `q` [nq, d] to a multiple
+    of ``qb``, stream fixed-shape batches through ``run(qs) -> tuple of
+    [qb, ...] arrays``, and concatenate/trim the columns. One
+    implementation for `Searcher.search` and `BipartiteSearcher.search`
+    (the padding/output protocol must not drift between engines).
+    ``device_out`` leaves results on device."""
+    import numpy as np
+
+    pad = (-nq) % qb
+    if pad:
+        q = jnp.concatenate(
+            [q, jnp.zeros((pad, q.shape[1]), jnp.float32)])
+    outs = [run(jax.lax.dynamic_slice_in_dim(q, s, qb))
+            for s in range(0, nq + pad, qb)]
+    cols = list(zip(*outs))
+    if device_out:
+        if len(outs) == 1:
+            return tuple(c[0][:nq] for c in cols)
+        return tuple(jnp.concatenate(c)[:nq] for c in cols)
+    return tuple(np.concatenate([np.asarray(x) for x in c])[:nq]
+                 for c in cols)
+
+
 def search_batched(base, neighbors, eps, queries, k, L, metric=Metric.IP,
                    query_batch: int = 1024, **kw) -> Tuple:
     """Host wrapper: stream query batches of a fixed shape through the jit."""

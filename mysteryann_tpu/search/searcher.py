@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mysteryann_tpu.ops.distances import Metric, prepare_vectors
-from mysteryann_tpu.search.beam import beam_search
+from mysteryann_tpu.search.beam import beam_search, run_query_batches
 from mysteryann_tpu.search.seeding import make_seed_sample, seed_scan
 
 if TYPE_CHECKING:  # avoid circular import (graph.roargraph uses search.beam)
@@ -57,12 +57,8 @@ class Searcher:
         q = prepare_vectors(queries, self.metric)
         nq, d = q.shape
         qb = min(query_batch, nq)
-        pad = (-nq) % qb
-        if pad:
-            q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
-        outs = []
-        for s in range(0, nq + pad, qb):
-            qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
+
+        def run(qs):
             seed_ids = None
             if seeds:
                 # seed_d stays None: the scan's distances carry
@@ -71,26 +67,12 @@ class Searcher:
                 # seeds in f32, so reported dists stay exact
                 seed_ids, _ = seed_scan(
                     *self._samp, qs, n_seeds=seeds, metric=self.metric)
-            r = beam_search(self.base, self.neighbors, self.eps,
-                            qs,
-                            k=k, L=L, metric=self.metric,
-                            expand=expand,
-                            visited_mode=visited_mode,
-                            seed_ids=seed_ids)
-            outs.append(r)
-        if device_out:
-            if len(outs) == 1:
-                r = outs[0]
-                return r.ids[:nq], r.dists[:nq], r.cmps[:nq], r.hops[:nq]
-            return (jnp.concatenate([r.ids for r in outs])[:nq],
-                    jnp.concatenate([r.dists for r in outs])[:nq],
-                    jnp.concatenate([r.cmps for r in outs])[:nq],
-                    jnp.concatenate([r.hops for r in outs])[:nq])
-        out_i = np.concatenate([np.asarray(r.ids) for r in outs])[:nq]
-        out_d = np.concatenate([np.asarray(r.dists) for r in outs])[:nq]
-        out_c = np.concatenate([np.asarray(r.cmps) for r in outs])[:nq]
-        out_h = np.concatenate([np.asarray(r.hops) for r in outs])[:nq]
-        return out_i.astype(np.int32), out_d, out_c, out_h
+            r = beam_search(self.base, self.neighbors, self.eps, qs,
+                            k=k, L=L, metric=self.metric, expand=expand,
+                            visited_mode=visited_mode, seed_ids=seed_ids)
+            return r.ids, r.dists, r.cmps, r.hops
+
+        return run_query_batches(q, nq, qb, run, device_out)
 
     def benchmark(self, queries: np.ndarray, k: int, L: int,
                   query_batch: int = 1024, warmup: int = 1,
