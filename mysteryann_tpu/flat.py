@@ -113,6 +113,11 @@ class FlatIndex:
         ``device_out=True`` leaves results on device (callers composing
         further device work, and device-timed benchmarking).
         """
+        if k > self.n_base:
+            # the reference throws when a search returns < k results
+            # (src/index_bipartite.cpp:2408-2412); a silently narrower
+            # [Q, N] result breaks [Q, k] consumers
+            raise ValueError(f"k ({k}) > corpus size ({self.n_base})")
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
         q = prepare_vectors(queries, self.metric)

@@ -66,3 +66,14 @@ def test_flat_int8_l2():
     ids, _ = idx.search(queries, k=10, query_batch=100)
     rec = compute_recall(ids, gt_i.astype(np.int64), 10)
     assert rec >= 0.98, rec
+
+
+def test_flat_k_exceeds_corpus_raises():
+    # the reference throws when search returns < k results; a silently
+    # narrower result breaks [Q, k] consumers
+    import pytest
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((7, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    with pytest.raises(ValueError, match="corpus"):
+        FlatIndex(base, metric="ip").search(q, k=10)
