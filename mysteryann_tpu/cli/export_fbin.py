@@ -17,6 +17,7 @@ import numpy as np
 
 from mysteryann_tpu.io.datasets import (export_fbin_from_npy,
                                         pool_frame_embeddings)
+from mysteryann_tpu.io.formats import write_fbin
 
 
 def main(argv=None) -> int:
@@ -34,9 +35,7 @@ def main(argv=None) -> int:
     if args.pool_videos:
         rows = [pool_frame_embeddings(np.load(f)) for f in args.npy]
         arr = np.stack(rows).astype(np.float32)
-        with open(args.out, "wb") as f:
-            f.write(np.asarray(arr.shape, np.uint32).tobytes())
-            f.write(arr.tobytes())
+        write_fbin(args.out, arr)  # one header implementation (formats)
         npts, dim = arr.shape
     else:
         npts, dim = export_fbin_from_npy(args.npy, args.out,

@@ -6,9 +6,7 @@ RoarGraph search CLI."""
 from __future__ import annotations
 
 import argparse
-import time
 
-import numpy as np
 
 from mysteryann_tpu.cli.common import (
     add_common_search_flags,
@@ -43,22 +41,14 @@ def main(argv=None) -> int:
     for L in args.L_pq:
         if L < args.k:
             continue
-        qb = min(args.query_batch, queries.shape[0])
-        # warmup (compile)
-        searcher.search(queries[:qb], k=args.k, L=L, query_batch=qb)
-        t0 = time.perf_counter()
-        ids, dists, cmps, hops = searcher.search(
-            queries, k=args.k, L=L, query_batch=qb)
-        dt = time.perf_counter() - t0
-        r = {
-            "L_pq": L,
-            "qps": queries.shape[0] / dt,
-            "avg_cmps": float(np.mean(cmps)),
-            "avg_hops": float(np.mean(hops)),
-            "mean_latency_ms": 1000.0 * dt / max(1, queries.shape[0] // qb),
-            "recall": compute_recall(ids, gt_ids, args.k),
-            "rderr": compute_rderr(dists, gt_dists, args.k, index.metric),
-        }
+        # device-timed via the searcher's benchmark — same methodology
+        # as the RoarGraph CLI (the old hand-rolled loop timed per-batch
+        # host downloads, skewing bipartite-vs-roargraph comparisons)
+        r = searcher.benchmark(queries, k=args.k, L=L,
+                               query_batch=args.query_batch)
+        r["recall"] = compute_recall(r["ids"], gt_ids, args.k)
+        r["rderr"] = compute_rderr(r["dists"], gt_dists, args.k,
+                                   index.metric)
         print(result_row(r))
         rows.append(r)
     if args.csv_path:

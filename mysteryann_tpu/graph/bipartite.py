@@ -249,3 +249,33 @@ class BipartiteSearcher:
             return r.ids, r.dists, r.cmps, r.hops
 
         return run_query_batches(q, nq, qb, run, device_out)
+
+    def benchmark(self, queries: np.ndarray, k: int, L: int,
+                  query_batch: int = 512, warmup: int = 1,
+                  two_hop_chunk: int = 0) -> dict:
+        """Device-timed sweep row, same methodology as Searcher.benchmark
+        (queries staged in HBM, results blocked on device, fence-ended
+        timed region — host download excluded)."""
+        import time
+
+        from mysteryann_tpu.utils.fence import fence
+
+        q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
+        qb = min(query_batch, q.shape[0])
+        for _ in range(warmup):
+            fence(self.search(q[:qb], k, L, query_batch=qb,
+                              two_hop_chunk=two_hop_chunk, device_out=True))
+        t0 = time.perf_counter()
+        out = self.search(q, k, L, query_batch=qb,
+                          two_hop_chunk=two_hop_chunk, device_out=True)
+        fence(out)
+        dt = time.perf_counter() - t0
+        ids, dists, cmps, hops = (np.asarray(o) for o in out)
+        return {
+            "L_pq": L, "k": k,
+            "qps": q.shape[0] / dt,
+            "avg_cmps": float(cmps.mean()),
+            "avg_hops": float(hops.mean()),
+            "mean_latency_ms": 1000.0 * dt / max(1, -(-q.shape[0] // qb)),
+            "ids": ids.astype(np.int32), "dists": dists,
+        }
