@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--exit_f", type=float, default=None,
                     help="early-termination factor (see fused.py); cuts "
                          "tail hops for easy queries at a small recall cost")
+    ap.add_argument("--visited_mode", default="auto",
+                    choices=("auto", "merge", "pool", "bitmask"),
+                    help="fused pool-maintenance strategy (see fused.py)")
+    ap.add_argument("--query_batch", type=int, default=8192)
     ap.add_argument("--L", type=int, nargs="+",
                     default=[40, 50, 60, 75, 90, 110, 130, 160, 200])
     args = ap.parse_args()
@@ -101,8 +105,10 @@ def main():
     rows = []
     for L in args.L:
         for _ in range(2):
-            r = fused.benchmark(eval_q, k=K, L=L, query_batch=8192,
+            r = fused.benchmark(eval_q, k=K, L=L,
+                                query_batch=args.query_batch,
                                 expand=args.expand, seeds=args.seeds,
+                                visited_mode=args.visited_mode,
                                 exit_f=args.exit_f)
         rows.append({
             "L": L, "qps": round(r["qps"], 1),
@@ -116,6 +122,8 @@ def main():
     print(json.dumps({"passes": p, "build_secs": build_secs,
                       "seeds": args.seeds, "seed_sample": args.seed_sample,
                       "expand": args.expand, "max_degree": args.max_degree,
+                      "visited_mode": args.visited_mode,
+                      "query_batch": args.query_batch,
                       "rows": rows, "best_at_95": best}))
 
 
