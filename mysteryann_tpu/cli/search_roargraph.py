@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     p.add_argument("--expand", type=int, default=1,
                    help="closest-unexpanded entries popped per lockstep "
                         "step (amortizes pool maintenance)")
+    p.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                   help="fused traversal-row quantization; 4 halves the "
+                        "per-expansion DMA bytes (reported distances stay "
+                        "exact f32 via the rerank)")
     args = p.parse_args(argv)
 
     base = load_vectors(args.base_data_path)
@@ -53,8 +57,10 @@ def main(argv=None) -> int:
     ss = args.seed_sample or (8 if args.seeds else 0)
     if args.engine == "fused":
         from mysteryann_tpu.search.fused import FusedSearcher
-        searcher = FusedSearcher(index, base, seed_sample=ss)
+        searcher = FusedSearcher(index, base, seed_sample=ss, bits=args.bits)
     else:
+        if args.bits != 8:
+            p.error("--bits applies to --engine fused only")
         searcher = Searcher(index, base, seed_sample=ss)
     print(f"base {base.shape}, queries {queries.shape}, "
           f"graph degree avg {index.graph.degree_stats()['avg']:.1f}, "

@@ -39,38 +39,52 @@ if TYPE_CHECKING:
     from mysteryann_tpu.graph.roargraph import RoarGraphIndex
 
 
-def _row_bytes(M: int, d: int) -> int:
-    r = M * d + 8 * M
+def _row_bytes(M: int, d: int, bits: int = 8) -> int:
+    r = M * d * bits // 8 + 8 * M
     # pad to 8 sublanes x 128 lanes: DMA slice extents of the [N, R/128,
     # 128] table must be sublane-aligned (Mosaic: "aligned to tiling (8)")
     return -(-r // 1024) * 1024
 
 
-@partial(jax.jit, static_argnames=("n_base", "M", "d"))
-def _pack_chunk(base, rows, n_base: int, M: int, d: int):
+@partial(jax.jit, static_argnames=("n_base", "M", "d", "bits"))
+def _pack_chunk(base, rows, n_base: int, M: int, d: int, bits: int = 8):
     """Quantize + byte-pack one chunk of neighbor blocks on device.
 
     rows int32 [c, M] (sentinel >= n_base) → u8 [c, R]: per-neighbor
-    symmetric int8 quant of the neighbor's vector, its f32 scale, and
-    its id (sentinel ids remapped to n_base+1 = "invalid").
+    symmetric int8 (or two-per-byte int4 when ``bits=4``) quant of the
+    neighbor's vector, its f32 scale, and its id (sentinel ids remapped
+    to n_base+1 = "invalid").
     """
     c = rows.shape[0]
     valid = rows < n_base
     v = gather_rows_any(base, jnp.minimum(rows, n_base - 1).reshape(-1)
                         ).reshape(c, M, d)   # pallas DMA gather, [c, M, d]
     amax = jnp.max(jnp.abs(v), axis=2)
-    sc = jnp.where(valid, amax / 127.0, 0.0)
+    qmax = 127.0 if bits == 8 else 7.0
+    sc = jnp.where(valid, amax / qmax, 0.0)
     qv = jnp.where(sc[..., None] > 0, v / jnp.maximum(sc, 1e-30)[..., None],
                    0.0)
-    qv = jnp.clip(jnp.rint(qv), -127, 127).astype(jnp.int8)
+    qv = jnp.clip(jnp.rint(qv), -qmax, qmax).astype(jnp.int8)
     ids = jnp.where(valid, rows, n_base + 1).astype(jnp.int32)
 
-    qv_b = jax.lax.bitcast_convert_type(qv, jnp.uint8).reshape(c, M * d)
+    if bits == 4:
+        # nibble-pack in SPLIT-HALVES layout: byte j holds element j in
+        # its low nibble and element j + d/2 in its high nibble. The
+        # unpack then needs no per-element interleave — the two shifted
+        # int8 arrays feed two half-width einsums directly (an
+        # interleaving stack/reshape forced a full [B, F, d] relayout
+        # per hop, which cost more than the DMA savings; and XLA's
+        # native int4 bitcast widens to f32 before reshape — 51 GB).
+        qu = jax.lax.bitcast_convert_type(qv, jnp.uint8)
+        qv_b = ((qu[..., d // 2:] & 0xF) << 4 | (qu[..., :d // 2] & 0xF)
+                ).reshape(c, M * d // 2)
+    else:
+        qv_b = jax.lax.bitcast_convert_type(qv, jnp.uint8).reshape(c, M * d)
     sc_b = jax.lax.bitcast_convert_type(
         sc.astype(jnp.float32), jnp.uint8).reshape(c, 4 * M)
     id_b = jax.lax.bitcast_convert_type(ids, jnp.uint8).reshape(c, 4 * M)
     row = jnp.concatenate([qv_b, sc_b, id_b], axis=1)
-    R = _row_bytes(M, d)
+    R = _row_bytes(M, d, bits)
     if row.shape[1] < R:
         row = jnp.pad(row, ((0, 0), (0, R - row.shape[1])))
     # 3D [c, R/128, 128]: single-row DMA slices of a 2D u8 table violate
@@ -118,12 +132,13 @@ def _bitonic_merge_triple(d, i, e, L: int):
 @partial(jax.jit,
          static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d",
                           "collect_expanded", "visited_mode", "expand",
-                          "exit_f"))
+                          "exit_f", "bits", "rerank"))
 def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                 max_hops: int, n_base: int, M: int, d: int,
                 collect_expanded: int = 0, visited_mode: str = "merge",
                 expand: int = 1, seed_ids=None, seed_d=None,
-                exit_f: float | None = None):
+                exit_f: float | None = None, bits: int = 8,
+                rerank: int = 0):
     """`collect_expanded=H>0` additionally returns the expansion history
     (reference full_retset, src/index_bipartite.cpp:1318): the ids of the
     first H nodes popped as closest-unexpanded, in pop order — the
@@ -267,9 +282,20 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         rows = gather_rows(table, cur_c)          # [B*e, R/128, 128] u8
         # unpack via 3D sub-row slices — flattening to [B, R] u8 forces a
         # tiled-layout copy of the whole 75 MB block every hop
-        qrows = M * d // 128
-        block = jax.lax.bitcast_convert_type(
-            rows[:, :qrows, :], jnp.int8).reshape(B, F, d)
+        qrows = M * d * bits // 8 // 128
+        if bits == 4:
+            # split-halves unpack (see _pack_chunk): sign-extend the two
+            # nibble planes in place; each feeds a half-width einsum —
+            # no per-element interleave, no [B, F, d] relayout
+            xi = jax.lax.bitcast_convert_type(
+                rows[:, :qrows, :], jnp.int8).reshape(B, F, d // 2)
+            four = jnp.int8(4)
+            b_lo = jnp.right_shift(jnp.left_shift(xi, four), four)
+            b_hi = jnp.right_shift(xi, four)
+            halves = (b_lo.astype(jnp.bfloat16), b_hi.astype(jnp.bfloat16))
+        else:
+            block = jax.lax.bitcast_convert_type(
+                rows[:, :qrows, :], jnp.int8).reshape(B, F, d)
         meta = rows[:, qrows:qrows + (8 * M) // 128, :].reshape(B, 8 * F)
         sc = jax.lax.bitcast_convert_type(
             meta.reshape(B, expand, 8 * M)[:, :, :4 * M].reshape(
@@ -278,15 +304,28 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
             meta.reshape(B, expand, 8 * M)[:, :, 4 * M:].reshape(
                 B, F, 4), jnp.int32)
 
-        ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32)
+        if bits == 4:
+            ip_q = (jnp.einsum("bd,bmd->bm", q[:, :d // 2], halves[0],
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("bd,bmd->bm", q[:, d // 2:], halves[1],
+                                 preferred_element_type=jnp.float32))
+        else:
+            ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
         ip = ip_q * sc
         if metric in (Metric.IP, Metric.COSINE):
             nd = -ip
         else:
-            vn = jnp.einsum("bmd,bmd->bm", block.astype(jnp.bfloat16),
-                            block.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32) * sc * sc
+            if bits == 4:
+                vn = (jnp.einsum("bmd,bmd->bm", halves[0], halves[0],
+                                 preferred_element_type=jnp.float32)
+                      + jnp.einsum("bmd,bmd->bm", halves[1], halves[1],
+                                   preferred_element_type=jnp.float32)
+                      ) * sc * sc
+            else:
+                vn = jnp.einsum("bmd,bmd->bm", block.astype(jnp.bfloat16),
+                                block.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32) * sc * sc
             nd = q_sq - 2.0 * ip + vn
 
         if use_bitmask or use_pool:
@@ -305,15 +344,15 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
                                axis=2)
             else:
                 words = nb_c >> 5
-                bits = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
-                seen = (visited[jnp.arange(B)[:, None], words] & bits) != 0
+                bitv = jnp.uint32(1) << (nb_c & 31).astype(jnp.uint32)
+                seen = (visited[jnp.arange(B)[:, None], words] & bitv) != 0
             earlier = (nbrs[:, :, None] == nbrs[:, None, :]) & (
                 jax.lax.broadcasted_iota(jnp.int32, (1, F, F), 2)
                 < jax.lax.broadcasted_iota(jnp.int32, (1, F, F), 1))
             first_occ = ~jnp.any(earlier, axis=2)
             fresh = in_b & ~seen & first_occ
             if use_bitmask:
-                visited = _scatter_or_bits(visited, words, bits, fresh)
+                visited = _scatter_or_bits(visited, words, bitv, fresh)
             nd = jnp.where(fresh, nd, _INF)
             new_ids = jnp.where(fresh, nbrs, n_total)
             cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
@@ -382,8 +421,11 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         cond, body, st)
 
     # exact f32 rerank of the pool head (also dedups residual id copies
-    # that entered via different int8 source blocks)
-    kk = min(L, max(2 * k, k + 8))
+    # that entered via different int8 source blocks). int4 traversal
+    # misorders the pool more, so its rerank reaches deeper — the extra
+    # rows are a one-off ~2k-row gather, noise next to the walk's DMA.
+    # ``rerank`` overrides the depth outright (recall lever at fixed L).
+    kk = min(L, rerank or max(2 * k, k + 8) * (2 if bits == 4 else 1))
     top_ids = jnp.minimum(cand_ids[:, :kk], n_base - 1)
     valid = cand_ids[:, :kk] < n_base
     vecs = gather_rows_any(base, top_ids.reshape(-1)).reshape(B, kk, d)
@@ -409,7 +451,7 @@ def _table_fill(buf, chunk_rows, start):
 
 
 def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
-                        into: jax.Array | None = None,
+                        into: jax.Array | None = None, bits: int = 8,
                         ) -> Tuple[jax.Array, int]:
     """Pack a padded adjacency into the fused byte-row table.
 
@@ -430,12 +472,15 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
     alias node 0, so it is overwritten with one explicit sentinel row).
     """
     n, d = base.shape
-    if d % 8:
-        # with M % 16 == 0, M*d lands on the 128-byte sub-row boundary
-        # iff d % 8 == 0 (the unpack slices the qv region at sub-row
-        # granularity); callers pad dims once — io.formats.data_align,
-        # or FusedSearcher's column zero-pad
-        raise ValueError(f"fused byte-row packing needs dim % 8 == 0, "
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    if d % (8 if bits == 8 else 16):
+        # with M % 16 == 0, the M*d*bits/8 qv region lands on the
+        # 128-byte sub-row boundary iff d % 8 == 0 (int8) / d % 16 == 0
+        # (int4 packs two per byte); callers pad dims once —
+        # io.formats.data_align, or FusedSearcher's column zero-pad
+        raise ValueError(f"fused byte-row packing needs dim % "
+                         f"{8 if bits == 8 else 16} == 0 at bits={bits}, "
                          f"got d={d}; zero-pad the vectors")
     M0 = neighbors.shape[1]
     if M0 % 16:
@@ -447,7 +492,7 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
             [neighbors, xp.full((neighbors.shape[0], padc), n,
                                 neighbors.dtype)], axis=1)
     M = neighbors.shape[1]
-    R = _row_bytes(M, d)
+    R = _row_bytes(M, d, bits)
     on_device = isinstance(neighbors, jax.Array)
     shape = (n + 1, R // 128, 128)
     if into is not None and into.shape == shape and into.dtype == jnp.uint8:
@@ -461,10 +506,10 @@ def pack_neighbor_table(base: jax.Array, neighbors, chunk: int = 16384,
             rows = rows.astype(jnp.int32)
         else:
             rows = jnp.asarray(neighbors[s:s + chunk].astype(np.int32))
-        p = _pack_chunk(base, rows, n_base=n, M=M, d=d)
+        p = _pack_chunk(base, rows, n_base=n, M=M, d=d, bits=bits)
         table = _table_fill(table, p, jnp.int32(s))
     sent = _pack_chunk(base, jnp.full((1, M), n, jnp.int32),
-                       n_base=n, M=M, d=d)
+                       n_base=n, M=M, d=d, bits=bits)
     table = _table_fill(table, sent, jnp.int32(n))
     return table, M
 
@@ -474,13 +519,17 @@ class FusedSearcher:
 
     def __init__(self, index: "RoarGraphIndex", base: np.ndarray,
                  chunk: int = 65536, max_degree: int = 0,
-                 seed_sample: int = 0):
+                 seed_sample: int = 0, bits: int = 8):
         """``seed_sample=r`` (e.g. 64) keeps a strided 1-in-r sample of
         the base resident in bf16 for per-query entry-point scans
-        (`search(seeds=...)`)."""
+        (`search(seeds=...)`). ``bits=4`` nibble-packs traversal rows —
+        half the per-expansion DMA bytes (the measured graph-QPS bound)
+        for ~2x coarser traversal distances; the exact f32 rerank keeps
+        reported distances exact either way."""
         self.metric = index.metric
         self.base = prepare_vectors(np.asarray(base, np.float32), self.metric)
-        self._col_pad = (8 - self.base.shape[1] % 8) % 8
+        align = 8 if bits == 8 else 16
+        self._col_pad = (align - self.base.shape[1] % align) % align
         if self._col_pad:
             # zero columns change no IP/L2/cosine distance; they keep the
             # packed qv region on the 128-byte sub-row boundary
@@ -490,7 +539,9 @@ class FusedSearcher:
         if max_degree and max_degree < nb.shape[1]:
             nb = nb[:, :max_degree]  # adjacency is closest-first per node
         self.eps = jnp.asarray([index.graph.ep], jnp.int32)
-        self.table, self.M = pack_neighbor_table(self.base, nb, chunk=chunk)
+        self.bits = bits
+        self.table, self.M = pack_neighbor_table(self.base, nb, chunk=chunk,
+                                                 bits=bits)
         self.n_base, self.d = n, d
         self._samp = (make_seed_sample(self.base, seed_sample)
                       if seed_sample else None)
@@ -499,7 +550,7 @@ class FusedSearcher:
                query_batch: int = 8192, max_hops: int = 0,
                device_out: bool = False, visited_mode: str = "auto",
                expand: int = 1, seeds: int = 0,
-               exit_f: float | None = None,
+               exit_f: float | None = None, rerank: int = 0,
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         if seeds and self._samp is None:
             raise ValueError("seeds > 0 needs FusedSearcher(seed_sample=r)")
@@ -535,7 +586,7 @@ class FusedSearcher:
                 metric=self.metric, max_hops=mh, n_base=self.n_base,
                 M=self.M, d=self.d, visited_mode=visited_mode,
                 expand=expand, seed_ids=seed_ids, seed_d=seed_d,
-                exit_f=exit_f))
+                exit_f=exit_f, bits=self.bits, rerank=rerank))
         if device_out:
             if len(outs) == 1:
                 return tuple(o[:nq] for o in outs[0])
@@ -550,14 +601,15 @@ class FusedSearcher:
     def benchmark(self, queries: np.ndarray, k: int, L: int,
                   query_batch: int = 8192, warmup: int = 1,
                   visited_mode: str = "auto", expand: int = 1,
-                  seeds: int = 0, exit_f: float | None = None) -> dict:
+                  seeds: int = 0, exit_f: float | None = None,
+                  rerank: int = 0) -> dict:
         # device-timed (see FlatIndex.benchmark): results blocked on
         # device; the ~15 MB/s debug-tunnel download stays out of the
         # timed region.
         q = prepare_vectors(np.asarray(queries, np.float32), self.metric)
         qb = min(query_batch, q.shape[0])
         kw = dict(visited_mode=visited_mode, expand=expand, seeds=seeds,
-                  exit_f=exit_f)
+                  exit_f=exit_f, rerank=rerank)
         from mysteryann_tpu.utils.fence import fence
         for _ in range(warmup):
             fence(self.search(q[:qb], k, L, query_batch=qb, device_out=True,

@@ -50,6 +50,11 @@ def main():
                     choices=("auto", "merge", "pool", "bitmask"),
                     help="fused pool-maintenance strategy (see fused.py)")
     ap.add_argument("--query_batch", type=int, default=8192)
+    ap.add_argument("--bits", type=int, default=8, choices=(8, 4),
+                    help="traversal-row quantization (4 halves DMA bytes)")
+    ap.add_argument("--rerank", type=int, default=0,
+                    help="exact-rerank head depth override (recall lever "
+                         "at fixed L; 0 = engine default)")
     ap.add_argument("--L", type=int, nargs="+",
                     default=[40, 50, 60, 75, 90, 110, 130, 160, 200])
     args = ap.parse_args()
@@ -101,7 +106,7 @@ def main():
     log(f"degree: {index.graph.degree_stats()}")
 
     fused = FusedSearcher(index, base, max_degree=args.max_degree,
-                          seed_sample=args.seed_sample)
+                          seed_sample=args.seed_sample, bits=args.bits)
     rows = []
     for L in args.L:
         for _ in range(2):
@@ -109,7 +114,7 @@ def main():
                                 query_batch=args.query_batch,
                                 expand=args.expand, seeds=args.seeds,
                                 visited_mode=args.visited_mode,
-                                exit_f=args.exit_f)
+                                exit_f=args.exit_f, rerank=args.rerank)
         rows.append({
             "L": L, "qps": round(r["qps"], 1),
             "recall": round(compute_recall(r["ids"], gt_i, K), 4),
@@ -123,7 +128,7 @@ def main():
                       "seeds": args.seeds, "seed_sample": args.seed_sample,
                       "expand": args.expand, "max_degree": args.max_degree,
                       "visited_mode": args.visited_mode,
-                      "query_batch": args.query_batch,
+                      "query_batch": args.query_batch, "bits": args.bits,
                       "rows": rows, "best_at_95": best}))
 
 

@@ -88,6 +88,33 @@ def test_fused_dists_are_exact(built):
     np.testing.assert_allclose(dists, want, rtol=1e-4, atol=1e-4)
 
 
+def test_fused_int4_recall_close_to_int8(built):
+    base, eval_q, index, gt = built
+    f8 = FusedSearcher(index, base, seed_sample=8)
+    f4 = FusedSearcher(index, base, seed_sample=8, bits=4)
+    a, da, *_ = f8.search(eval_q, k=10, L=96, query_batch=300, seeds=16)
+    b, db, *_ = f4.search(eval_q, k=10, L=96, query_batch=300, seeds=16)
+    ra, rb = compute_recall(a, gt, 10), compute_recall(b, gt, 10)
+    # int4 coarsens only traversal order; the exact f32 rerank bounds
+    # the end-to-end recall cost to pool-boundary candidates
+    assert rb > ra - 0.03, f"int4 {rb} vs int8 {ra}"
+    assert np.all(np.diff(db, axis=1) >= -1e-5)  # reranked exact order
+
+
+def test_fused_int4_dim_validation(built):
+    base, eval_q, index, gt = built
+    # d=48 is 16-aligned so the ctor path works; pack_neighbor_table
+    # itself must reject a 4-bit pack of a non-16-aligned dim
+    import jax.numpy as jnp
+    from mysteryann_tpu.search.fused import pack_neighbor_table
+    with pytest.raises(ValueError, match="dim % 16"):
+        pack_neighbor_table(jnp.zeros((64, 24), jnp.float32),
+                            np.zeros((64, 16), np.int32), bits=4)
+    with pytest.raises(ValueError, match="bits"):
+        pack_neighbor_table(jnp.zeros((64, 32), jnp.float32),
+                            np.zeros((64, 16), np.int32), bits=2)
+
+
 def test_fused_pool_mode_matches_merge(built):
     base, eval_q, index, gt = built
     fused = FusedSearcher(index, base, seed_sample=8)
