@@ -54,6 +54,11 @@ CONFIGS = {
     "ss2_s24_low": (2, dict(expand=4, seeds=24), [32, 36, 40]),
     # 1-in-3 sample: 2/3 the scan FLOPs of ss2 at (maybe) similar recall
     "ss3_low": (3, dict(expand=4, seeds=40), [44, 48, 52, 56, 60]),
+    # int4 traversal rows (bits=4 table): half the per-expansion DMA
+    # bytes — the measured graph-QPS bound — for coarser traversal
+    # distances; rerank=4k keeps the reported head exact
+    "b4_ss2": (2, dict(expand=4, seeds=48, _bits=4), [48, 56, 64]),
+    "b4_ss4": (4, dict(expand=4, seeds=48, _bits=4), [64, 80, 100]),
 }
 
 
@@ -88,16 +93,24 @@ def main():
     index = RoarGraphIndex.load(os.path.join(
         CACHE, f"{KEY}_{M_SQ}_{M_PJBP}_{L_PJPQ}_p{args.passes}_proj.index"))
     log(f"degree: {index.graph.degree_stats()}")
-    fused = FusedSearcher(index, base, max_degree=args.max_degree,
-                          seed_sample=4)
-    samples = {4: fused._samp}
+    searchers = {8: FusedSearcher(index, base, max_degree=args.max_degree,
+                                  seed_sample=4)}
+    samples = {(8, 4): searchers[8]._samp}
 
     results = {}
     for name in args.configs.split(","):
         ss, kw, Ls = CONFIGS[name]
-        if ss not in samples:
-            samples[ss] = make_seed_sample(fused.base, ss)
-        fused._samp = samples[ss]
+        kw = dict(kw)
+        bits = kw.pop("_bits", 8)
+        if bits not in searchers:
+            searchers[bits] = FusedSearcher(
+                index, base, max_degree=args.max_degree, seed_sample=ss,
+                bits=bits)
+            samples[(bits, ss)] = searchers[bits]._samp
+        fused = searchers[bits]
+        if (bits, ss) not in samples:
+            samples[(bits, ss)] = make_seed_sample(fused.base, ss)
+        fused._samp = samples[(bits, ss)]
         rows = []
         for L in Ls:
             for _ in range(2):
@@ -108,8 +121,8 @@ def main():
                 "rderr": round(compute_rderr(r["dists"], gt_d, K, "ip"), 6),
                 "avg_hops": round(r["avg_hops"], 1)})
             log(name, rows[-1])
-        results[name] = {"seed_sample": ss, **{k: str(v) for k, v in
-                                               kw.items()}, "rows": rows}
+        results[name] = {"seed_sample": ss, "bits": bits,
+                         **{k: str(v) for k, v in kw.items()}, "rows": rows}
         print(json.dumps({name: results[name]}), flush=True)
 
     best = None
