@@ -55,10 +55,13 @@ M_SQ, M_PJBP, L_PJPQ = 64, 32, 128
 TARGET_RECALL = 0.95
 L_SWEEP = (10, 20, 40, 70, 100, 150, 250, 400, 700)
 # seeded graph serving (the record config, see BASELINE.md): per-query
-# entry points from a strided 1-in-4 bf16 sample scan, 40-wide packed
-# rows, 32 seeds
-SEED_SAMPLE, SEED_MAX_DEGREE, SEEDS = 4, 40, 32
-SEEDED_L_SWEEP = (70, 100, 125, 150, 200, 250, 400)
+# entry points from a strided 1-in-2 bf16 sample scan, 48-wide packed
+# rows, 40 seeds. Seed density is the big recall lever at 1M (probe
+# 2026-08-18, scripts/probe_1m_fused.py): the 1-in-2 scan alone holds
+# ~half the true top-10, moving the .95 crossing to L=48 — under the
+# L=64 pool-width tile cliff — at 78.7k QPS on the 2-pass index.
+SEED_SAMPLE, SEED_MAX_DEGREE, SEEDS = 2, 48, 40
+SEEDED_L_SWEEP = (40, 44, 48, 52, 56, 64, 80, 100, 150)
 
 
 def log(*a, **k):
@@ -183,9 +186,9 @@ def main():
     graph_best = None
     for L in SEEDED_L_SWEEP:
         # expand=4: per-step pool-maintenance costs amortize over 4
-        # expansions; seeds=32 from the coarse sample scan (entry points
-        # inside the target neighborhood — measured 2.4x QPS at the .95
-        # recall point vs the medoid walk, see BASELINE.md)
+        # expansions; seeds from the dense 1-in-2 sample scan (entry
+        # points inside the target neighborhood — the scan replaces the
+        # medoid walk, the graph does the precision work; see BASELINE.md)
         r = _finish_row(
             fused.benchmark(eval_q, k=K, L=L, query_batch=8192, expand=4,
                             seeds=SEEDS),
