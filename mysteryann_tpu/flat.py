@@ -3,10 +3,11 @@
 The reference exists because CPUs cannot brute-force million-scale
 corpora per query (hence graphs + SIMD, reference distance.h/
 index_bipartite.cpp). A v5e MXU computes an 8192-query × 1M-base × 128-d
-distance block at ~100 TFLOP/s — brute force IS the fast path at this
-scale (measured: ~370k QPS at k=10 on 1M×128, vs ~1-5k QPS for lockstep
-graph traversal dominated by random-row gathers at ~1.7 GB/s effective).
-This is the TPU-KNN-paper regime (PAPERS.md).
+distance block at tens of TFLOP/s — brute force IS the fast path at this
+scale (fence-timed: ~236k QPS f32 at k=10 on 1M×128, see BASELINE.md;
+vs ~1-5k QPS for lockstep graph traversal dominated by random-row
+gathers at ~1.7 GB/s effective). This is the TPU-KNN-paper regime
+(PAPERS.md).
 
 Distances per tile are exact (f32 accumulate); only the per-tile
 selection uses the hardware partial-reduce (`approx_min_k`) with a
@@ -138,7 +139,7 @@ class FlatIndex:
             if self.precision == "int8":
                 if self.int8_scale == "global":
                     q_i8, _ = quantize_rows_int8(qs)
-                    ii = int8_global_knn_device(
+                    _, ii = int8_global_knn_device(
                         q_i8, self.base_i8, k=kk, tile=self.tile,
                         recall_target=self.recall_target)
                 else:

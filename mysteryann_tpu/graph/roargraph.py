@@ -906,18 +906,23 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     del supply0
 
     engine = cfg.connectivity_engine
+    bits = cfg.connectivity_bits
+    dim_mult = 8 if bits == 8 else 16
     if engine == "auto":
         w16 = -(-W // 16) * 16
         # fused needs the packed table resident next to base+supply+prune
         # scratch (~10 GB table budget on a 16 GB chip) and dims on the
         # byte-row sub-row boundary (pack_neighbor_table)
-        engine = ("fused" if d % 8 == 0
-                  and (n + 1) * _row_bytes(w16, d) <= 10e9
+        engine = ("fused" if d % dim_mult == 0
+                  and (n + 1) * _row_bytes(w16, d, bits) <= 10e9
                   else "classic")
-    elif engine == "fused" and d % 8:
-        raise ValueError("connectivity_engine='fused' needs dim % 8 == 0 "
+    elif engine == "fused" and d % dim_mult:
+        raise ValueError(f"connectivity_engine='fused' needs dim % "
+                         f"{dim_mult} == 0 at connectivity_bits={bits} "
                          f"(got d={d}); pad the vectors or use 'classic'")
-    log(f"phase D engine: {engine}")
+    log(f"phase D engine: {engine}"
+        + (f" (bits={bits}, expand={cfg.connectivity_expand})"
+           if engine == "fused" else ""))
 
     # projection rows feed only the per-batch not-seedable mask; above
     # ~4M nodes keep them on the HOST and upload [sb, M] slices (~0.5 MB)
@@ -957,7 +962,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             # a fresh multi-GB contiguous alloc into the fragmented heap
             # OOMs at 1M even though total free HBM suffices
             table, Mt = pack_neighbor_table(base_dev, supply_dev,
-                                            into=table)
+                                            into=table, bits=bits)
             table.block_until_ready()
             t_pack += _time.perf_counter() - _t0
         # device buffer for this chunk's pruned lists (+1 sentinel row for
@@ -974,7 +979,8 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             if engine == "fused":
                 r = _fused_beam(table, base_dev, eps, q, k=1, L=L,
                                 metric=metric, max_hops=4 * L + 32,
-                                n_base=n, M=Mt, d=d, collect_expanded=H)
+                                n_base=n, M=Mt, d=d, collect_expanded=H,
+                                expand=cfg.connectivity_expand, bits=bits)
                 pool = r[4]
                 pool.block_until_ready()
                 if s == r0:  # once per round: history-cap pressure check

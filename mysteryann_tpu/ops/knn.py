@@ -194,14 +194,17 @@ def int8_global_knn_device(
     k: int,
     tile: int = 262144,
     recall_target: float = 0.95,
-) -> jax.Array:
-    """Candidate ids [B, k] via a fusion-clean global-scale int8 scan.
+) -> Tuple[jax.Array, jax.Array]:
+    """(neg s32 scores f32 [B, k], ids [B, k]) via a fusion-clean
+    global-scale int8 scan.
 
     IP/cosine only: with one base-side scale, -s32 ranks identically to
     the true negated inner product per query, so the selection consumes
     the s8xs8→s32 matmul output DIRECTLY (PartialReduce fusion intact —
-    no scores are even materialized). Returns ids only; callers rerank
-    in f32 for exact distances (`FlatIndex`).
+    no scores are even materialized). Scores are raw negated s8·s8
+    accumulators; callers either rerank the head in f32 for exact
+    distances or rescale by q_scale·base_scale for approximate ones
+    (`FlatIndex`).
     """
     nb, d = base_i8.shape
     tile = min(tile, nb)
@@ -239,7 +242,7 @@ def int8_global_knn_device(
                                           recall_target=recall_target)
         best = _merge_topk(best, t_d,
                            t_pos.astype(jnp.int32) + n_full * tile, k)
-    return best[1]
+    return best
 
 
 @partial(jax.jit, static_argnames=("k", "metric", "tile", "recall_target"))

@@ -42,6 +42,22 @@ class BuildConfig:
     # (sharded builds resolve "auto" to classic and reject "fused" —
     # see parallel/sharded_build.py's exactness contract).
     connectivity_engine: str = "auto"
+    # phase-D fused-engine throughput knobs (classic engine ignores both):
+    # - connectivity_expand: closest-unexpanded pops per traversal step
+    #   (search/fused.py ``expand``). Total pops stay ~L_pjpq, so the DMA
+    #   bytes are unchanged, but per-step fixed costs (pool merge, loop
+    #   overhead) amortize over `expand` expansions — the phase-D search
+    #   time lever. Traversal order differs slightly from expand=1 (the
+    #   2nd pop in a step ignores the 1st pop's results), like the
+    #   reference's OpenMP interleaving; the prune still sees the same
+    #   kind of expansion history.
+    # - connectivity_bits: traversal-row quantization for the repacked
+    #   supply table (8 = int8, 4 = packed int4 — half the per-expansion
+    #   DMA bytes and half the table HBM). The prune recomputes exact
+    #   f32 distances over the collected pool either way, so row bits
+    #   affect traversal order only.
+    connectivity_expand: int = 1
+    connectivity_bits: int = 8
     # number of full phase-D sweeps. The reference does exactly one; a
     # second pass re-searches every node over the COMPLETED graph (the
     # densest, best-navigable state) and merges novel edges under the
@@ -61,6 +77,14 @@ class BuildConfig:
         if self.connectivity_engine not in ("auto", "fused", "classic"):
             raise ValueError(
                 f"unknown connectivity_engine {self.connectivity_engine!r}")
+        if self.connectivity_bits not in (8, 4):
+            raise ValueError(
+                f"connectivity_bits must be 8 or 4, got "
+                f"{self.connectivity_bits}")
+        if self.connectivity_expand < 1:
+            raise ValueError(
+                f"connectivity_expand must be >= 1, got "
+                f"{self.connectivity_expand}")
 
 
 @dataclasses.dataclass(frozen=True)

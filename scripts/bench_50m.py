@@ -235,7 +235,7 @@ def main():
 
     def flat_search(qs):
         q_i8, _ = quantize_rows_int8(qs)
-        ii = int8_global_knn_device(q_i8, tbl, k=args.rerank, tile=131072)
+        _, ii = int8_global_knn_device(q_i8, tbl, k=args.rerank, tile=131072)
         vals = jnp.zeros(ii.shape, jnp.float32)  # ids-only scan; all valid
         return regen_rerank(qs, jnp.maximum(ii, 0), vals, K)
 

@@ -74,8 +74,14 @@ def test_save_load_roundtrip(built, tmp_path):
     assert compute_recall(ids, gt_i, 10) > 0.9
 
 
-@pytest.mark.parametrize("engine", ["classic", "fused"])
-def test_connectivity_engines(engine):
+@pytest.mark.parametrize("engine,expand,bits", [
+    ("classic", 1, 8), ("fused", 1, 8),
+    # the build-speed knobs (BuildConfig.connectivity_expand/_bits):
+    # multi-pop steps + int4 traversal rows — measured recall-neutral at
+    # 1M (BASELINE.md), pinned > .88 here like the base engines
+    ("fused", 4, 4),
+])
+def test_connectivity_engines(engine, expand, bits):
     """Both phase-D search engines produce valid, high-recall graphs.
 
     The fused engine traverses int8 neighbor blocks (exact f32 prune), so
@@ -85,7 +91,8 @@ def test_connectivity_engines(engine):
     _, knn = exact_knn(train_q, base, k=24, metric="ip", precision="highest")
     cfg = BuildConfig(M_sq=24, M_pjbp=10, L_pjpq=48, metric="ip",
                       query_batch=512, search_batch=512,
-                      connectivity_engine=engine)
+                      connectivity_engine=engine,
+                      connectivity_expand=expand, connectivity_bits=bits)
     index = build_roargraph(base, train_q, knn, cfg, verbose=False)
     index.graph.validate()
     assert index.graph.degree_stats()["zero"] == 0
