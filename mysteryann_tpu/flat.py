@@ -63,13 +63,20 @@ class FlatIndex:
     k·oversample head with exact f32 — reported distances stay exact,
     recall loss is confined to scan-boundary candidates the oversample
     absorbs.
+
+    ``precision="scan"`` routes through the experimental binned-scan
+    pallas kernel (`ops/scan.py`) — measured SLOWER than the fused XLA
+    path at 1M (46k vs 283.5k QPS; the kernel docstring records why).
+    IP/cosine, d % 128 == 0; the k·oversample head is reranked in exact
+    f32. Kept for the negative result and as a base for byte-reducing
+    variants; production serving uses "f32" or "int8".
     """
 
     def __init__(self, base: np.ndarray, metric: Metric | str = Metric.IP,
                  tile: int = 262144, oversample: int = 2,
                  precision: str = "f32", recall_target: float = 0.95,
                  int8_scale: str = "auto"):
-        if precision not in ("f32", "int8"):
+        if precision not in ("f32", "int8", "scan"):
             raise ValueError(f"unknown precision {precision!r}")
         if int8_scale not in ("auto", "row", "global"):
             raise ValueError(f"unknown int8_scale {int8_scale!r}")
@@ -99,6 +106,16 @@ class FlatIndex:
                 self.base_i8, self.base_scale = quantize_rows_int8(self.base)
                 self.base_norm = (jnp.sum(self.base * self.base, axis=1)
                                   if self.metric == Metric.L2 else None)
+        elif precision == "scan":
+            from mysteryann_tpu.ops.scan import make_scan_table
+            if self.metric == Metric.L2:
+                raise ValueError("precision='scan' supports ip/cosine only")
+            d = self.base.shape[1]
+            if d % 128:
+                raise ValueError(f"precision='scan' needs dim % 128 == 0 "
+                                 f"(got d={d}); pad the vectors or use "
+                                 f"'f32'/'int8'")
+            self.scan_table = make_scan_table(self.base)
 
     @property
     def n_base(self) -> int:
@@ -129,6 +146,9 @@ class FlatIndex:
             return (jnp.asarray(e_i), jnp.asarray(e_d)) if device_out \
                 else (e_i, e_d)
         qb = min(query_batch, nq)
+        if self.precision == "scan":
+            from mysteryann_tpu.ops.scan import B_BLK, flat_scan_topk
+            qb = -(-qb // B_BLK) * B_BLK  # kernel block granularity
         pad = (-nq) % qb
         if pad:
             q = jnp.concatenate([q, jnp.zeros((pad, d), jnp.float32)])
@@ -136,7 +156,12 @@ class FlatIndex:
         outs = []
         for s in range(0, nq + pad, qb):
             qs = jax.lax.dynamic_slice_in_dim(q, s, qb)
-            if self.precision == "int8":
+            if self.precision == "scan":
+                dd, ii = flat_scan_topk(qs, self.scan_table, self.n_base, k,
+                                        base_f32=self.base,
+                                        oversample=self.oversample)
+                outs.append((ii, dd))
+            elif self.precision == "int8":
                 if self.int8_scale == "global":
                     q_i8, _ = quantize_rows_int8(qs)
                     _, ii = int8_global_knn_device(

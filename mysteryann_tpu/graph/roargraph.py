@@ -920,8 +920,21 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         raise ValueError(f"connectivity_engine='fused' needs dim % "
                          f"{dim_mult} == 0 at connectivity_bits={bits} "
                          f"(got d={d}); pad the vectors or use 'classic'")
+    # entry-point seeding: the node's own vector is the query, so one
+    # bf16 sample-scan matmul per batch replaces the ~40-hop medoid
+    # navigation prefix of every phase-D search (same mechanism as
+    # serving-side FusedSearcher(seed_sample=...); the sample is a
+    # strided slice, ~n*d/rate bf16 bytes resident)
+    seeds = cfg.connectivity_seeds if engine == "fused" else 0
+    samp = samp_sq = samp_ids = None
+    if seeds:
+        from mysteryann_tpu.search.seeding import make_seed_sample, seed_scan
+        samp, samp_sq, samp_ids = make_seed_sample(
+            base_dev, cfg.connectivity_seed_sample)
     log(f"phase D engine: {engine}"
-        + (f" (bits={bits}, expand={cfg.connectivity_expand})"
+        + (f" (bits={bits}, expand={cfg.connectivity_expand}"
+           + (f", seeds={seeds}/1-in-{cfg.connectivity_seed_sample}"
+              if seeds else "") + ")"
            if engine == "fused" else ""))
 
     # projection rows feed only the per-batch not-seedable mask; above
@@ -977,10 +990,15 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             q = jax.lax.dynamic_slice_in_dim(base_dev, sl, sb, 0)
             _t0 = _time.perf_counter()
             if engine == "fused":
+                seed_ids = seed_d = None
+                if seeds:
+                    seed_ids, seed_d = seed_scan(samp, samp_sq, samp_ids,
+                                                 q, seeds, metric)
                 r = _fused_beam(table, base_dev, eps, q, k=1, L=L,
                                 metric=metric, max_hops=4 * L + 32,
                                 n_base=n, M=Mt, d=d, collect_expanded=H,
-                                expand=cfg.connectivity_expand, bits=bits)
+                                expand=cfg.connectivity_expand, bits=bits,
+                                seed_ids=seed_ids, seed_d=seed_d)
                 pool = r[4]
                 pool.block_until_ready()
                 if s == r0:  # once per round: history-cap pressure check

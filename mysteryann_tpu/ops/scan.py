@@ -1,13 +1,25 @@
 """Fused flat-scan pallas kernel — matmul + binned top-1 partial reduce.
 
-The flat MXU index's throughput at 1M is NOT matmul-bound: XLA's fused
-``matmul -> approx_min_k`` consumes scores at ~385 G elem/s (measured,
-scripts/probe_flat3.py — even ``matmul -> jnp.min`` costs 21-26 ms per
-8192x1M block, vs ~10.6 ms of bf16 MXU work). The selection consumer is
-the bottleneck, so this kernel replaces it with the cheapest correct
-reduction: each 128-lane group of the score tile max-folds DIRECTLY into
-a per-query bin accumulator (1 compare + 2 selects per element), with
-bins spread strided across the corpus so each bin keeps its best column.
+STATUS: correct but NOT competitive — kept as a documented experiment.
+
+The hypothesis: the flat MXU index's throughput at 1M is selection-bound,
+not matmul-bound (measured, scripts/probe_flat3.py: even
+``matmul -> jnp.min`` costs 21-26 ms per 8192x1M block vs ~10.6 ms of
+bf16 MXU work; ``approx_min_k`` consumes scores at ~480 G elem/s). This
+kernel replaces the selection consumer with a hand-rolled fold: each
+128-lane group of the score tile max-folds DIRECTLY into a per-query bin
+accumulator (1 compare + 2 selects per element), bins strided across the
+corpus so each bin keeps its best column.
+
+The measurement (v5e, 1M x 128 IP, 8192-query batches, 2026-08-19):
+the fold runs at ~86 G elem/s — the value+index select chain costs ~7
+VPU ops per score element where XLA's fused PartialReduce epilogue pays
+~2 — so the kernel lands at 110 ms per 8192x1M block (~46k QPS end to
+end), 3.8x SLOWER than the fused XLA scan it tried to beat (283.5k QPS,
+`FlatIndex(precision="f32", tile=n)`). The lesson is recorded here so it
+isn't relearned: on TPU, a hand kernel only beats XLA's matmul+top-k
+fusion if it fundamentally reduces bytes or ops per element; re-plumbing
+the same reduction through VMEM does neither.
 
 Layout (one grid step = one [B_BLK, d] query block x one [C_BLK, d] base
 tile):
@@ -26,13 +38,8 @@ XLA, decodes column ids, and (optionally) reranks in exact f32.
 
 Recall model: a bin keeps ONE column, so two true top-k ids landing in
 the same bin lose the weaker one — collision probability ~ k²/(2·BINS)
-(~1.2% for k=10, BINS=4096), independent of corpus size. The scan is a
-serving accelerator for recall targets ≤ ~.99; the tiled
-``exact_knn_device`` path remains the exact oracle.
-
-Measured (v5e, 1M x 128 IP, 8192-query batches, scripts/probe_flat4.py):
-~590k QPS no-rerank @ recall .9859 / ~416k QPS with exact f32 rerank
-@ .9868 — vs 283.5k for the fused XLA scan at the same recall.
+(~1.2% for k=10, BINS=4096), independent of corpus size (measured at 1M:
+.9913 @ oversample=2, .9957 @ oversample=4, exact f32 rerank).
 
 Metrics: IP and COSINE (pre-normalized, like every other kernel here —
 reference src/index_bipartite.cpp:176-182). L2 is served by
@@ -129,6 +136,11 @@ def binned_scan(q: jax.Array, base_bf16: jax.Array, n: int,
             jax.ShapeDtypeStruct((B, BINS), jnp.float32),
             jax.ShapeDtypeStruct((B, BINS), jnp.int16),
         ),
+        # accumulators [B_BLK, BINS] f32+i16 = 12 MB resident across the
+        # whole tile axis + double-buffered input blocks: just past the
+        # 16 MB default scoped-vmem limit (observed 16.25 MB at 1M)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q.astype(jnp.bfloat16), base_bf16)
 
@@ -166,8 +178,11 @@ def flat_scan_topk(q: jax.Array, base_bf16: jax.Array, n: int, k: int,
     distances (pallas row gather — descriptor-bound, ~6 ms per 8192x20);
     without it, distances carry bf16-matmul precision (~0.4% relative)
     and ranking is the kernel's. B must be a multiple of B_BLK (the
-    ``FlatIndex`` wrapper pads query batches).
+    ``FlatIndex`` wrapper pads query batches). Off-TPU the kernel runs
+    through the pallas interpreter (CPU correctness tests; don't
+    benchmark it there).
     """
+    interpret = interpret or jax.devices()[0].platform != "tpu"
     if base_f32 is None:
         return _scan_topk(q, base_bf16, k, n, interpret=interpret)
     kk = min(k * oversample, BINS)

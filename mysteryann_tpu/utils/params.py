@@ -58,6 +58,18 @@ class BuildConfig:
     #   affect traversal order only.
     connectivity_expand: int = 1
     connectivity_bits: int = 8
+    # phase-D entry-point seeding (fused engine): each node's search
+    # starts from its top-`connectivity_seeds` neighbors in a strided
+    # 1-in-`connectivity_seed_sample` bf16 sample scan of the base
+    # (search/seeding.py) instead of walking from the medoid — the walk
+    # skips the ~40-hop navigation prefix, cutting phase-D search time.
+    # The expansion pool then holds mostly near-field nodes; the medoid
+    # walk's far-field expansions (whose long-range edges the occlusion
+    # prune keeps for navigability) are still represented because the
+    # seed list spans the whole sample stride. 0 = medoid walk
+    # (reference behavior, src/index_bipartite.cpp:1310-1316).
+    connectivity_seeds: int = 0
+    connectivity_seed_sample: int = 4
     # number of full phase-D sweeps. The reference does exactly one; a
     # second pass re-searches every node over the COMPLETED graph (the
     # densest, best-navigable state) and merges novel edges under the
@@ -85,6 +97,18 @@ class BuildConfig:
             raise ValueError(
                 f"connectivity_expand must be >= 1, got "
                 f"{self.connectivity_expand}")
+        if self.connectivity_seeds < 0:
+            raise ValueError(
+                f"connectivity_seeds must be >= 0, got "
+                f"{self.connectivity_seeds}")
+        if self.connectivity_seeds and self.connectivity_seeds > self.L_pjpq:
+            raise ValueError(
+                f"connectivity_seeds ({self.connectivity_seeds}) must be "
+                f"<= L_pjpq ({self.L_pjpq})")
+        if self.connectivity_seed_sample < 1:
+            raise ValueError(
+                f"connectivity_seed_sample must be >= 1, got "
+                f"{self.connectivity_seed_sample}")
 
 
 @dataclasses.dataclass(frozen=True)

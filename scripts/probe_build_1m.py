@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--seed_sample", type=int, default=2)
     ap.add_argument("--max_degree", type=int, default=48)
     ap.add_argument("--skip_serve", action="store_true")
+    ap.add_argument("--build_seeds", type=int, default=0,
+                    help="phase-D entry seeding (0 = medoid walk)")
+    ap.add_argument("--build_seed_sample", type=int, default=4)
     args = ap.parse_args()
 
     from mysteryann_tpu.graph import build_roargraph, RoarGraphIndex
@@ -69,6 +72,8 @@ def main():
     (knn,) = loadz(KEY + "_knn")
 
     tag = f"p{args.passes}e{args.expand}b{args.bits}"
+    if args.build_seeds:
+        tag += f"s{args.build_seeds}r{args.build_seed_sample}"
     index_path = os.path.join(
         CACHE, f"{KEY}_{M_SQ}_{M_PJBP}_{L_PJPQ}_{tag}_proj.index")
     build_secs = None
@@ -85,7 +90,9 @@ def main():
                           metric="ip", query_batch=8192, search_batch=8192,
                           connectivity_passes=args.passes,
                           connectivity_expand=args.expand,
-                          connectivity_bits=args.bits)
+                          connectivity_bits=args.bits,
+                          connectivity_seeds=args.build_seeds,
+                          connectivity_seed_sample=args.build_seed_sample)
         t0 = time.time()
         index = build_roargraph(
             base, train_q, knn, cfg, verbose=True,
@@ -96,7 +103,9 @@ def main():
         with open(index_path + ".build.json", "w") as f:
             json.dump({"build_secs": round(build_secs, 1),
                        "expand": args.expand, "bits": args.bits,
-                       "passes": args.passes}, f)
+                       "passes": args.passes,
+                       "build_seeds": args.build_seeds,
+                       "build_seed_sample": args.build_seed_sample}, f)
 
     result = {"tag": tag, "build_secs": (None if build_secs is None
                                          else round(build_secs, 1)),

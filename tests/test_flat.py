@@ -77,3 +77,33 @@ def test_flat_k_exceeds_corpus_raises():
     q = rng.standard_normal((3, 8)).astype(np.float32)
     with pytest.raises(ValueError, match="corpus"):
         FlatIndex(base, metric="ip").search(q, k=10)
+
+
+def test_flat_scan_mode():
+    """precision='scan' (fused binned-scan kernel, interpret off-TPU):
+    near-exact recall at small n (few bin collisions), exact f32 dists,
+    uneven query counts padded to the kernel block."""
+    from mysteryann_tpu.ops import compute_ground_truth
+
+    base, _ = make_cross_modal(20000, 100, 128, metric="ip", seed=9)
+    queries = make_cross_modal(20000, 300, 128, metric="ip", seed=9,
+                               query_seed=41)[1]
+    gt_i, gt_d = compute_ground_truth(queries, base, k=10, metric="ip")
+    idx = FlatIndex(base, metric="ip", precision="scan", oversample=2)
+    ids, dists = idx.search(queries, k=10, query_batch=300)
+    assert ids.shape == (300, 10)
+    rec = compute_recall(ids, gt_i.astype(np.int64), 10)
+    assert rec >= 0.97, rec
+    # reported dists are the exact f32 rerank of the returned ids
+    sel = np.take_along_axis(
+        -(queries @ base.T), ids.astype(np.int64), axis=1)
+    np.testing.assert_allclose(dists, sel, rtol=0, atol=1e-4)
+
+
+def test_flat_scan_mode_validation():
+    base, q = make_cross_modal(2000, 10, 48, metric="ip", seed=9)
+    with pytest.raises(ValueError, match="dim % 128"):
+        FlatIndex(base, metric="ip", precision="scan")
+    base2, _ = make_cross_modal(2000, 10, 128, metric="l2", seed=9)
+    with pytest.raises(ValueError, match="ip/cosine"):
+        FlatIndex(base2, metric="l2", precision="scan")
