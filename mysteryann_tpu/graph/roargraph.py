@@ -40,6 +40,7 @@ import dataclasses
 import json
 import os
 import struct
+import time as _time
 import warnings
 from typing import Optional, Tuple
 
@@ -513,9 +514,14 @@ def build_roargraph(
             # edge distances for closest-first reverse capping
             e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
             rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=3 * M)
+            # host-visible split: the [chunk, R, A] novelty masks inside
+            # _merge_forward_reverse run on one host core (VERDICT r2
+            # flagged their 10M cost as profile-invisible)
+            _t0 = _time.perf_counter()
             projection = _merge_forward_reverse(
                 base_dev, forward, rev, cap=M, metric=metric,
                 batch=cfg.query_batch, fill=True)
+            log(f"phase B/C host merge: {_time.perf_counter() - _t0:.1f}s")
             ckpt.save("phaseBC", projection)
         del forward, pruned_all
     pg = PaddedGraph(neighbors=projection, ep=ep)
@@ -537,10 +543,13 @@ def build_roargraph(
             # merge novel supply edges into projection (reference
             # :1251-1269); later passes (beyond-reference) search the
             # completed graph and stay under the same 2M degree bound
+            _t0 = _time.perf_counter()
             final = _append_novel(final, supply, cap_add=2 * M, n=n)
             if final.shape[1] > 2 * M:
                 final = _cap_degree(final, base_dev, 2 * M, metric,
                                     cfg.query_batch, n)
+            log(f"phase D pass {p_i + 1} host merge+cap: "
+                f"{_time.perf_counter() - _t0:.1f}s")
         # phase E: reachability repair (reference's dead CollectPoints)
         final = _ensure_reachability(final, ep, base_dev, metric, log)
     g = PaddedGraph(neighbors=final, ep=ep)
@@ -871,8 +880,6 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     approximation affects traversal order only; "classic" is the f32
     lockstep beam (no table memory — the 10M+ path).
     """
-    import time as _time
-
     from mysteryann_tpu.search.fused import (_fused_beam, _row_bytes,
                                              pack_neighbor_table)
 
