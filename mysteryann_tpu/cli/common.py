@@ -15,6 +15,11 @@ import argparse
 import numpy as np
 
 from mysteryann_tpu.io import read_fbin
+from mysteryann_tpu.utils.cache import enable_compile_cache
+
+# every CLI pays the search/build-loop compile on first run otherwise —
+# the env-var route is ignored by this JAX build (utils/cache.py)
+enable_compile_cache()
 
 
 def add_common_build_flags(p: argparse.ArgumentParser) -> None:

@@ -7,3 +7,6 @@ from mysteryann_tpu.parallel.sharded_search import (  # noqa: F401
 from mysteryann_tpu.parallel.sharded_build import (  # noqa: F401
     sharded_build_roargraph,
 )
+from mysteryann_tpu.parallel.sharded_fused import (  # noqa: F401
+    ShardedFusedSearcher,
+)

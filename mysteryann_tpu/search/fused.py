@@ -129,6 +129,66 @@ def _bitonic_merge_triple(d, i, e, L: int):
     return d[:, :L], i[:, :L], e[:, :L]
 
 
+def _score_packed_rows(q, rows, metric: Metric, q_sq,
+                       B: int, F: int, M: int, d: int, bits: int,
+                       expand: int):
+    """Unpack gathered byte rows and score their inline neighbors.
+
+    ``rows`` is the [B*expand, R/128, 128] u8 gather output; returns
+    (nd [B, F] f32 distances, nbrs [B, F] i32 global ids). Shared by the
+    single-chip `_fused_beam` and the mp-sharded engine
+    (`parallel/sharded_fused.py`) so the quantized scoring semantics
+    cannot drift between them. Traced helper — call under jit."""
+    # unpack via 3D sub-row slices — flattening to [B, R] u8 forces a
+    # tiled-layout copy of the whole 75 MB block every hop
+    qrows = M * d * bits // 8 // 128
+    if bits == 4:
+        # split-halves unpack (see _pack_chunk): sign-extend the two
+        # nibble planes in place; each feeds a half-width einsum —
+        # no per-element interleave, no [B, F, d] relayout
+        xi = jax.lax.bitcast_convert_type(
+            rows[:, :qrows, :], jnp.int8).reshape(B, F, d // 2)
+        four = jnp.int8(4)
+        b_lo = jnp.right_shift(jnp.left_shift(xi, four), four)
+        b_hi = jnp.right_shift(xi, four)
+        halves = (b_lo.astype(jnp.bfloat16), b_hi.astype(jnp.bfloat16))
+    else:
+        block = jax.lax.bitcast_convert_type(
+            rows[:, :qrows, :], jnp.int8).reshape(B, F, d)
+    meta = rows[:, qrows:qrows + (8 * M) // 128, :].reshape(B, 8 * F)
+    sc = jax.lax.bitcast_convert_type(
+        meta.reshape(B, expand, 8 * M)[:, :, :4 * M].reshape(
+            B, F, 4), jnp.float32)
+    nbrs = jax.lax.bitcast_convert_type(
+        meta.reshape(B, expand, 8 * M)[:, :, 4 * M:].reshape(
+            B, F, 4), jnp.int32)
+
+    if bits == 4:
+        ip_q = (jnp.einsum("bd,bmd->bm", q[:, :d // 2], halves[0],
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("bd,bmd->bm", q[:, d // 2:], halves[1],
+                             preferred_element_type=jnp.float32))
+    else:
+        ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    ip = ip_q * sc
+    if metric in (Metric.IP, Metric.COSINE):
+        nd = -ip
+    else:
+        if bits == 4:
+            vn = (jnp.einsum("bmd,bmd->bm", halves[0], halves[0],
+                             preferred_element_type=jnp.float32)
+                  + jnp.einsum("bmd,bmd->bm", halves[1], halves[1],
+                               preferred_element_type=jnp.float32)
+                  ) * sc * sc
+        else:
+            vn = jnp.einsum("bmd,bmd->bm", block.astype(jnp.bfloat16),
+                            block.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * sc * sc
+        nd = q_sq - 2.0 * ip + vn
+    return nd, nbrs
+
+
 @partial(jax.jit,
          static_argnames=("k", "L", "metric", "max_hops", "n_base", "M", "d",
                           "collect_expanded", "visited_mode", "expand",
@@ -280,53 +340,9 @@ def _fused_beam(table, base, eps, q, k: int, L: int, metric: Metric,
         # THE gather: one packed byte row per expansion (pallas DMA)
         cur_c = jnp.minimum(cur, n_base).reshape(-1)           # [B*e]
         rows = gather_rows(table, cur_c)          # [B*e, R/128, 128] u8
-        # unpack via 3D sub-row slices — flattening to [B, R] u8 forces a
-        # tiled-layout copy of the whole 75 MB block every hop
-        qrows = M * d * bits // 8 // 128
-        if bits == 4:
-            # split-halves unpack (see _pack_chunk): sign-extend the two
-            # nibble planes in place; each feeds a half-width einsum —
-            # no per-element interleave, no [B, F, d] relayout
-            xi = jax.lax.bitcast_convert_type(
-                rows[:, :qrows, :], jnp.int8).reshape(B, F, d // 2)
-            four = jnp.int8(4)
-            b_lo = jnp.right_shift(jnp.left_shift(xi, four), four)
-            b_hi = jnp.right_shift(xi, four)
-            halves = (b_lo.astype(jnp.bfloat16), b_hi.astype(jnp.bfloat16))
-        else:
-            block = jax.lax.bitcast_convert_type(
-                rows[:, :qrows, :], jnp.int8).reshape(B, F, d)
-        meta = rows[:, qrows:qrows + (8 * M) // 128, :].reshape(B, 8 * F)
-        sc = jax.lax.bitcast_convert_type(
-            meta.reshape(B, expand, 8 * M)[:, :, :4 * M].reshape(
-                B, F, 4), jnp.float32)
-        nbrs = jax.lax.bitcast_convert_type(
-            meta.reshape(B, expand, 8 * M)[:, :, 4 * M:].reshape(
-                B, F, 4), jnp.int32)
-
-        if bits == 4:
-            ip_q = (jnp.einsum("bd,bmd->bm", q[:, :d // 2], halves[0],
-                               preferred_element_type=jnp.float32)
-                    + jnp.einsum("bd,bmd->bm", q[:, d // 2:], halves[1],
-                                 preferred_element_type=jnp.float32))
-        else:
-            ip_q = jnp.einsum("bd,bmd->bm", q, block.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        ip = ip_q * sc
-        if metric in (Metric.IP, Metric.COSINE):
-            nd = -ip
-        else:
-            if bits == 4:
-                vn = (jnp.einsum("bmd,bmd->bm", halves[0], halves[0],
-                                 preferred_element_type=jnp.float32)
-                      + jnp.einsum("bmd,bmd->bm", halves[1], halves[1],
-                                   preferred_element_type=jnp.float32)
-                      ) * sc * sc
-            else:
-                vn = jnp.einsum("bmd,bmd->bm", block.astype(jnp.bfloat16),
-                                block.astype(jnp.bfloat16),
-                                preferred_element_type=jnp.float32) * sc * sc
-            nd = q_sq - 2.0 * ip + vn
+        nd, nbrs = _score_packed_rows(
+            q, rows, metric, q_sq if metric == Metric.L2 else None,
+            B=B, F=F, M=M, d=d, bits=bits, expand=expand)
 
         if use_bitmask or use_pool:
             # "bitmask": reference VisitedListPool semantics — an id is

@@ -34,6 +34,10 @@ QB = 8192
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".cache", "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# env var alone is ignored by this JAX build — the config route
+# must initialize the cache (utils/cache.py)
+from mysteryann_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 import jax
 import jax.numpy as jnp

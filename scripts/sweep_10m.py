@@ -24,6 +24,10 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".cache", "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# env var alone is ignored by this JAX build — the config route
+# must initialize the cache (utils/cache.py)
+from mysteryann_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
 
 CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".bench_cache")
