@@ -106,6 +106,30 @@ def _finish_row(r, gt_i, gt_d, k, metric=METRIC):
     return {kk: vv for kk, vv in r.items() if kk not in ("ids", "dists")}
 
 
+def _contention_sentinel(base) -> list:
+    """Median-of-5 ms for a fixed fused matmul+min block on the chip.
+
+    The axon chip is SHARED: the same serving row measured 86.7k and
+    37.2k QPS hours apart, and this block measured 24 ms quiet vs
+    ~61-69 ms under a co-tenant (2026-08-19). Recording the sentinel next
+    to every artifact makes depressed rows diagnosable as contention
+    rather than regression."""
+    import jax
+    import jax.numpy as jnp
+    from mysteryann_tpu.utils.fence import fence
+    q = jnp.zeros((8192, 128), jnp.float32) + 0.01
+    bd = jnp.asarray(base[:1_000_000])
+    f = jax.jit(lambda a, b: jnp.min(
+        a.astype(jnp.bfloat16) @ b.astype(jnp.bfloat16).T, axis=1))
+    fence(f(q, bd))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fence(f(q, bd))
+        ts.append(round(1000 * (time.perf_counter() - t0), 1))
+    return sorted(ts)
+
+
 def _bench_median(bench_fn, gt_i, gt_d, k, repeats=REPEATS):
     """Median-of-`repeats` timing (VERDICT r2: single-trial QPS swung
     ~40% between adjacent rows). The first trial warms up compile +
@@ -147,6 +171,9 @@ def main():
         exact_knn(eval_q, base, k=K, metric=METRIC, query_batch=8192,
                   base_tile=131072, precision="highest"))))
     gt_i = gt_i.astype(np.int64)
+
+    sentinel_pre = _contention_sentinel(base)
+    log(f"contention sentinel (ms, quiet~24): {sentinel_pre}")
 
     # ---- flat MXU index (headline serving mode at this scale) -------------
     # tile=N_BASE: a single fused matmul->select block over all 1M
@@ -297,6 +324,10 @@ def main():
             "graph_build_secs": (None if build_secs is None
                                  else round(build_secs, 1)),
             "baseline_qps_t16": base_qps,
+            # shared-chip context (see _contention_sentinel): ~24 ms when
+            # the chip is quiet; ~60-70 ms under a co-tenant
+            "contention_sentinel_ms": {"pre": sentinel_pre,
+                                       "post": _contention_sentinel(base)},
             "wall_secs": round(time.time() - t_all, 1),
         },
     }
