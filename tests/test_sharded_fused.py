@@ -61,6 +61,22 @@ def test_sharded_seeded_matches_single_chip(built):
     assert compute_recall(b[0], gt, 10) > 0.9
 
 
+def test_sharded_l2_matches_single_chip(built):
+    base, eval_q, index, _ = built
+    # metric override: serve the same adjacency under L2 on both engines
+    import dataclasses
+    from mysteryann_tpu.ops.distances import Metric
+    idx_l2 = dataclasses.replace(index, metric=Metric.L2)
+    mesh = make_mesh(dp=2, mp=4)
+    ref = FusedSearcher(idx_l2, base, bits=8)
+    a = ref.search(eval_q, k=10, L=24, query_batch=64, expand=2,
+                   visited_mode="merge")
+    sh = ShardedFusedSearcher(mesh, idx_l2, base, bits=8)
+    b = sh.search(eval_q, k=10, L=24, expand=2)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
 def test_sharded_fused_arg_validation(built):
     base, eval_q, index, _ = built
     mesh = make_mesh(dp=2, mp=4)
