@@ -48,6 +48,16 @@ def cached(name, fn):
     return npz_cached(CACHE, name, fn)
 
 
+
+def med3(bench_fn):
+    """Median-of-3 trial timing (row convention shared with bench.py)."""
+    trials = [bench_fn(warmup=1 if t == 0 else 0) for t in range(3)]
+    qpss = sorted(t["qps"] for t in trials)
+    r = trials[-1]
+    r["qps"], r["qps_min"], r["qps_max"] = qpss[1], qpss[0], qpss[2]
+    return r
+
+
 def main():
     from mysteryann_tpu.io import make_cross_modal
     from mysteryann_tpu.ops import exact_knn
@@ -88,20 +98,22 @@ def main():
 
     log("== flat f32 ==")
     flat = FlatIndex(base, metric="ip")
-    for _ in range(2):
-        r = flat.benchmark(eval_q, k=K)
-        r["recall"] = compute_recall(r["ids"], gt_i, K)
+    r = med3(lambda warmup: flat.benchmark(eval_q, k=K, warmup=warmup))
+    r["recall"] = compute_recall(r["ids"], gt_i, K)
     rows.append({"mode": "flat_f32", "qps": round(r["qps"], 1),
+                 "qps_min": round(r["qps_min"], 1),
+                 "qps_max": round(r["qps_max"], 1),
                  "recall": round(r["recall"], 4)})
     log(rows[-1])
     del flat
 
     log("== flat int8 (global scale) ==")
     flat8 = FlatIndex(base, metric="ip", precision="int8", oversample=4)
-    for _ in range(2):
-        r = flat8.benchmark(eval_q, k=K)
-        r["recall"] = compute_recall(r["ids"], gt_i, K)
+    r = med3(lambda warmup: flat8.benchmark(eval_q, k=K, warmup=warmup))
+    r["recall"] = compute_recall(r["ids"], gt_i, K)
     rows.append({"mode": "flat_int8", "qps": round(r["qps"], 1),
+                 "qps_min": round(r["qps_min"], 1),
+                 "qps_max": round(r["qps_max"], 1),
                  "recall": round(r["recall"], 4)})
     log(rows[-1])
     del flat8
@@ -128,11 +140,13 @@ def main():
         index = RoarGraphIndex.load(index_path)
         s = Searcher(index, base, seed_sample=8)
         for L in (100, 150, 250):
-            for _ in range(2):
-                r = s.benchmark(eval_q, k=K, L=L, query_batch=8192,
-                                visited_mode="merge", expand=4, seeds=32)
+            r = med3(lambda warmup: s.benchmark(
+                eval_q, k=K, L=L, query_batch=8192,
+                visited_mode="merge", expand=4, seeds=32, warmup=warmup))
             rows.append({"mode": f"graph_p{passes}_seeded_L{L}",
                          "qps": round(r["qps"], 1),
+                         "qps_min": round(r["qps_min"], 1),
+                         "qps_max": round(r["qps_max"], 1),
                          "recall": round(compute_recall(r["ids"], gt_i, K), 4),
                          "build_s": build_secs})
             log(rows[-1])
@@ -147,10 +161,12 @@ def main():
     build_s = time.time() - t0
     log(f"ivf build: {build_s:.0f}s")
     for nprobe in (64, 128, 256):
-        for _ in range(2):
-            r = ivf.benchmark(eval_q, k=K, nprobe=nprobe, query_batch=8192)
-            r["recall"] = compute_recall(r["ids"], gt_i, K)
+        r = med3(lambda warmup: ivf.benchmark(
+            eval_q, k=K, nprobe=nprobe, query_batch=8192, warmup=warmup))
+        r["recall"] = compute_recall(r["ids"], gt_i, K)
         rows.append({"mode": f"ivf_np{nprobe}", "qps": round(r["qps"], 1),
+                     "qps_min": round(r["qps_min"], 1),
+                     "qps_max": round(r["qps_max"], 1),
                      "recall": round(r["recall"], 4),
                      "build_s": round(build_s, 1)})
         log(rows[-1])
