@@ -364,6 +364,33 @@ def _batched_prune_rows(
     return out
 
 
+@partial(jax.jit, static_argnames=("n", "cap"))
+def _merge_fr_block(own_b: jax.Array, rev_b: jax.Array, n: int, cap: int):
+    """One row block of the forward∪reverse merge, on device.
+
+    Reverse entries already present in the own list are dropped; valid
+    entries compact left in own-then-reverse, position-stable order (the
+    reference's push_back-without-prune insertion). Returns
+    (merged [bs, cap], total [bs] = valid count after dedup) — the exact
+    key-sort recast of the former host argsort path (bit-identity pinned
+    by tests/test_roargraph_build.py building through both phases)."""
+    bs, A = own_b.shape
+    R = rev_b.shape[1]
+    C = A + R
+    dup = (rev_b[:, :, None] == own_b[:, None, :]).any(axis=2)
+    posA = jax.lax.broadcasted_iota(jnp.int32, own_b.shape, 1)
+    posR = jax.lax.broadcasted_iota(jnp.int32, rev_b.shape, 1)
+    own_key = jnp.where(own_b < n, posA, 2 * C + posA)
+    rev_key = jnp.where((rev_b < n) & ~dup, A + posR, 3 * C + posR)
+    keys = jnp.concatenate([own_key, rev_key], axis=1)
+    vals = jnp.concatenate([own_b, rev_b], axis=1)
+    k_s, v_s = jax.lax.sort((keys, vals), dimension=-1, num_keys=1)
+    merged = jnp.where(k_s[:, :cap] < 2 * C, v_s[:, :cap], jnp.int32(n))
+    total = (jnp.sum(own_b < n, axis=1, dtype=jnp.int32)
+             + jnp.sum((rev_b < n) & ~dup, axis=1, dtype=jnp.int32))
+    return merged, total
+
+
 def _merge_forward_reverse(
     base_dev: jax.Array,
     own: np.ndarray,        # [N, A] current lists (sentinel-padded)
@@ -379,36 +406,50 @@ def _merge_forward_reverse(
     Nodes at or under the threshold keep own-then-reverse order (reference
     push_back without prune); overfull nodes go through the batched
     occlusion prune.
-    """
-    n = own.shape[0]
-    thresh = cap if prune_threshold is None else prune_threshold
-    # drop reverse entries already present in own (own rows are dup-free by
-    # prune construction); chunked to bound the [K, R, A] broadcast
-    rev = rev.copy()
-    chunk = max(1, (1 << 27) // max(1, rev.shape[1] * own.shape[1]))
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        dup = (rev[s:e, :, None] == own[s:e, None, :]).any(axis=2)
-        rev[s:e][dup] = n
-    cand = np.concatenate([own, rev], axis=1)
-    total = (cand < n).sum(axis=1)
-    out = np.full((n, cap), n, np.int32)
 
-    # fast path (≤ threshold): own-then-reverse order, left-compacted —
-    # matches the reference's push_back-without-prune insertion
-    easy = total <= thresh
-    if easy.any():
-        rows = np.nonzero(easy)[0]
-        c = cand[rows]
-        order = np.argsort(c == n, axis=1, kind="stable")
-        out[rows] = np.take_along_axis(c, order, axis=1)[:, :cap]
-    if (~easy).any():
-        rows = np.nonzero(~easy)[0]
-        pruned = _batched_prune_rows(
-            base_dev, rows.astype(np.int32), cand[rows], cap, metric,
-            batch, fill)
-        out[rows] = pruned
-    return out
+    Runs ON DEVICE in row blocks: the former host version's [N, R, A]
+    numpy dedup broadcast measured 360 s of a 10M build on one core
+    (2026-08-19 build log) — the VPU does the same 30G comparisons in
+    seconds. Results are unchanged (same dedup rule, same stable
+    compaction order, same overfull prune).
+    """
+    n, A = own.shape
+    R = rev.shape[1]
+    thresh = cap if prune_threshold is None else prune_threshold
+    own_dev = jnp.asarray(own, jnp.int32)
+    rev_dev = jnp.asarray(rev, jnp.int32)
+    # block size bounds the [bs, R, A] device broadcast (~0.5 GB bool)
+    bs = max(1024, min(n, (1 << 29) // max(1, R * A)))
+    merged = np.empty((n, cap), np.int32)
+    total = np.empty(n, np.int32)
+    for s in range(0, n, bs):
+        st = min(s, max(0, n - bs))  # clamped window (one compiled shape)
+        m_b, t_b = _merge_fr_block(
+            jax.lax.dynamic_slice_in_dim(own_dev, st, min(bs, n), 0),
+            jax.lax.dynamic_slice_in_dim(rev_dev, st, min(bs, n), 0),
+            n=n, cap=cap)
+        merged[st: st + bs] = np.asarray(m_b)
+        total[st: st + bs] = np.asarray(t_b)
+
+    hard = np.nonzero(total > thresh)[0]
+    if hard.size:
+        # overfull rows: occlusion-prune over the FULL dedup'd candidate
+        # list (own-then-reverse), reconstructed on device per block
+        out_rows = np.empty((hard.size, cap), np.int32)
+        OB = 1 << 15
+        for s in range(0, hard.size, OB):
+            blk = hard[s: s + OB]
+            ids = jnp.asarray(np.minimum(blk, n - 1).astype(np.int32))
+            own_r = gather_rows_any(own_dev, ids)
+            rev_r = gather_rows_any(rev_dev, ids)
+            dup = (rev_r[:, :, None] == own_r[:, None, :]).any(axis=2)
+            cand_b = jnp.concatenate(
+                [own_r, jnp.where(dup, n, rev_r)], axis=1)
+            out_rows[s: s + blk.size] = _batched_prune_rows(
+                base_dev, jnp.asarray(blk.astype(np.int32)), cand_b, cap,
+                metric, batch, fill)
+        merged[hard] = out_rows
+    return merged
 
 
 # --------------------------------------------------------------------------
@@ -1235,20 +1276,46 @@ def _cap_degree(rows: np.ndarray, base_dev, cap: int, metric, batch: int,
     return out
 
 
+@partial(jax.jit, static_argnames=("n", "w_add"))
+def _append_novel_block(proj_b: jax.Array, sup_b: jax.Array, n: int,
+                        w_add: int):
+    """One row block of the novel-supply append, on device (same key-sort
+    recast as `_merge_fr_block`; the former host version's [N, Ws, M]
+    numpy dedup broadcast was single-core time inside every phase-D
+    pass)."""
+    bs, M = proj_b.shape
+    nov_b = sup_b[:, :w_add]
+    C = M + w_add
+    dup = (nov_b[:, :, None] == proj_b[:, None, :]).any(axis=2)
+    posP = jax.lax.broadcasted_iota(jnp.int32, proj_b.shape, 1)
+    posN = jax.lax.broadcasted_iota(jnp.int32, nov_b.shape, 1)
+    p_key = jnp.where(proj_b < n, posP, 2 * C + posP)
+    n_key = jnp.where((nov_b < n) & ~dup, M + posN, 3 * C + posN)
+    keys = jnp.concatenate([p_key, n_key], axis=1)
+    vals = jnp.concatenate([proj_b, nov_b], axis=1)
+    k_s, v_s = jax.lax.sort((keys, vals), dimension=-1, num_keys=1)
+    return jnp.where(k_s < 2 * C, v_s, jnp.int32(n))
+
+
 def _append_novel(projection: np.ndarray, supply: np.ndarray, cap_add: int,
                   n: int) -> np.ndarray:
-    """Append up to cap_add supply edges not already in projection."""
+    """Append up to cap_add supply edges not already in projection.
+
+    Projection rows are left-compacted, so the stable key sort appends
+    each row's novel entries right after its own degree — identical
+    output to the former host argsort path (oracle-pinned in
+    tests/test_roargraph_build.py), blocked on device."""
     N, M = projection.shape
-    width = M + min(cap_add, supply.shape[1])
-    novel = supply.copy()
-    chunk = max(1, (1 << 27) // max(1, supply.shape[1] * M))
-    for s in range(0, N, chunk):
-        e = min(s + chunk, N)
-        dup = (supply[s:e, :, None] == projection[s:e, None, :]).any(axis=2)
-        novel[s:e][dup] = n
-    novel[novel >= n] = n
-    cand = np.concatenate([projection, novel[:, :width - M]], axis=1)
-    # projection rows are left-compacted; one stable compaction appends the
-    # novel entries right after each row's own degree
-    order = np.argsort(cand == n, axis=1, kind="stable")
-    return np.take_along_axis(cand, order, axis=1).astype(np.int32)
+    w_add = min(cap_add, supply.shape[1])
+    proj_dev = jnp.asarray(projection, jnp.int32)
+    sup_dev = jnp.asarray(supply, jnp.int32)
+    bs = max(1024, min(N, (1 << 29) // max(1, supply.shape[1] * M)))
+    out = np.empty((N, M + w_add), np.int32)
+    for s in range(0, N, bs):
+        st = min(s, max(0, N - bs))
+        blk = _append_novel_block(
+            jax.lax.dynamic_slice_in_dim(proj_dev, st, min(bs, N), 0),
+            jax.lax.dynamic_slice_in_dim(sup_dev, st, min(bs, N), 0),
+            n=n, w_add=w_add)
+        out[st: st + bs] = np.asarray(blk)
+    return out

@@ -138,3 +138,73 @@ def test_slab_fold_matches_single_jit_fold():
                               jnp.asarray(ids), n=n, W=W)
     np.testing.assert_array_equal(
         np.asarray(rev_b)[:5], np.asarray(a_rev)[ids[:5]])
+
+
+def test_merge_forward_reverse_matches_host_oracle():
+    """The device forward∪reverse merge must reproduce the former host
+    implementation exactly: dedup'd own-then-reverse stable compaction on
+    easy rows, occlusion prune on overfull rows."""
+    from mysteryann_tpu.graph.roargraph import (_batched_prune_rows,
+                                                _merge_forward_reverse)
+    from mysteryann_tpu.ops.distances import Metric, prepare_vectors
+
+    rng = np.random.default_rng(5)
+    n, A, R, cap = 800, 8, 24, 8
+    base = rng.standard_normal((n, 16)).astype(np.float32)
+    base_dev = prepare_vectors(base, Metric.IP)
+    own = np.full((n, A), n, np.int32)
+    rev = np.full((n, R), n, np.int32)
+    for i in range(n):
+        d = rng.integers(0, A + 1)
+        own[i, :d] = rng.choice(n, size=d, replace=False)
+        rd = rng.integers(0, R + 1)
+        rev[i, :rd] = rng.choice(n, size=rd, replace=False)  # may dup own
+
+    got = _merge_forward_reverse(base_dev, own, rev, cap=cap,
+                                 metric=Metric.IP, batch=256, fill=False)
+
+    # host oracle (the former implementation, verbatim semantics)
+    rev_h = rev.copy()
+    dup = (rev_h[:, :, None] == own[:, None, :]).any(axis=2)
+    rev_h[dup] = n
+    cand = np.concatenate([own, rev_h], axis=1)
+    total = (cand < n).sum(axis=1)
+    want = np.full((n, cap), n, np.int32)
+    easy = total <= cap
+    rows = np.nonzero(easy)[0]
+    c = cand[rows]
+    order = np.argsort(c == n, axis=1, kind="stable")
+    want[rows] = np.take_along_axis(c, order, axis=1)[:, :cap]
+    hard = np.nonzero(~easy)[0]
+    if hard.size:
+        want[hard] = _batched_prune_rows(
+            base_dev, hard.astype(np.int32), cand[hard], cap, Metric.IP,
+            256, fill=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_append_novel_matches_host_oracle():
+    """Device novel-supply append == the former host implementation."""
+    from mysteryann_tpu.graph.roargraph import _append_novel
+
+    rng = np.random.default_rng(9)
+    n, M, Ws, cap_add = 700, 6, 12, 10
+    proj = np.full((n, M), n, np.int32)
+    supply = np.full((n, Ws), n, np.int32)
+    for i in range(n):
+        d = rng.integers(0, M + 1)
+        proj[i, :d] = rng.choice(n, size=d, replace=False)
+        sd = rng.integers(0, Ws + 1)
+        supply[i, :sd] = rng.choice(n + 3, size=sd, replace=False)  # > n too
+
+    got = _append_novel(proj, supply, cap_add=cap_add, n=n)
+
+    width = M + min(cap_add, Ws)
+    novel = supply.copy()
+    dup = (supply[:, :, None] == proj[:, None, :]).any(axis=2)
+    novel[dup] = n
+    novel[novel >= n] = n
+    cand = np.concatenate([proj, novel[:, :width - M]], axis=1)
+    order = np.argsort(cand == n, axis=1, kind="stable")
+    want = np.take_along_axis(cand, order, axis=1).astype(np.int32)
+    np.testing.assert_array_equal(got, want)
