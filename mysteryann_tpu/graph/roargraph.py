@@ -364,6 +364,38 @@ def _batched_prune_rows(
     return out
 
 
+def _resolve_engine(cfg, n: int, d: int) -> str:
+    """Resolve connectivity_engine='auto' for corpus (n, d) — one shared
+    rule so the checkpoint tag and the pass itself cannot disagree."""
+    from mysteryann_tpu.search.fused import _row_bytes
+    engine = cfg.connectivity_engine
+    bits = cfg.connectivity_bits
+    dim_mult = 8 if bits == 8 else 16
+    if engine == "auto":
+        w16 = -(-2 * cfg.M_pjbp // 16) * 16
+        # fused needs the packed table resident next to base+supply+prune
+        # scratch (~10 GB table budget on a 16 GB chip) and dims on the
+        # byte-row sub-row boundary (pack_neighbor_table)
+        engine = ("fused" if d % dim_mult == 0
+                  and (n + 1) * _row_bytes(w16, d, bits) <= 10e9
+                  else "classic")
+    return engine
+
+
+def _phase_d_knob_tag(cfg, n: int, d: int) -> str:
+    """Phase-D checkpoint tag suffix: every knob that changes phase-D
+    outputs (the knobs are fingerprint-neutral so phases A-C survive a
+    knob change; see build_roargraph)."""
+    engine = _resolve_engine(cfg, n, d)
+    t = (f"{engine}_e{cfg.connectivity_expand}"
+         f"i{cfg.connectivity_iters}h{cfg.history_mult}")
+    if engine == "fused":
+        t += f"b{cfg.connectivity_bits}"
+        if cfg.connectivity_seeds:
+            t += f"s{cfg.connectivity_seeds}r{cfg.connectivity_seed_sample}"
+    return t
+
+
 @partial(jax.jit, static_argnames=("n", "cap"))
 def _merge_fr_block(own_b: jax.Array, rev_b: jax.Array, n: int, cap: int):
     """One row block of the forward∪reverse merge, on device.
@@ -503,9 +535,18 @@ def build_roargraph(
     # extends to 2 passes incrementally) and the batching sizes
     # (query_batch / search_batch change how work is chunked, never the
     # per-row results — clamped tail windows re-search rows to identical
-    # values, and prune batches are padded, not merged)
+    # values, and prune batches are padded, not merged). The phase-D-only
+    # knobs (engine/expand/bits/seeds/iters/history) are excluded too:
+    # phases A-C don't depend on them, so changing a phase-D knob must
+    # not discard the A-C checkpoints — instead those knobs are baked
+    # into the phase-D checkpoint TAG below, which isolates D outputs
+    # per knob set.
     cfg_fp = dataclasses.asdict(cfg)
-    for neutral in ("connectivity_passes", "query_batch", "search_batch"):
+    for neutral in ("connectivity_passes", "query_batch", "search_batch",
+                    "connectivity_engine", "connectivity_expand",
+                    "connectivity_bits", "connectivity_seeds",
+                    "connectivity_seed_sample", "connectivity_iters",
+                    "history_mult"):
         cfg_fp.pop(neutral, None)
     ckpt = _BuildCheckpoint(checkpoint_dir, fingerprint={
         "cfg": cfg_fp, "n": int(n), "nq": int(nq),
@@ -581,10 +622,13 @@ def build_roargraph(
         f"zero {st['zero']} ({t_bc.elapsed:.2f}s)")
 
     # ---- Phase D: connectivity enhancement ----------------------------------
+    # knob suffix isolates phase-D checkpoints per knob set (the knobs
+    # are fingerprint-neutral above so A-C checkpoints survive)
+    knobs = _phase_d_knob_tag(cfg, n, base.shape[1])
     with Timer("phaseD") as t_d:
         final = projection
         for p_i in range(max(1, cfg.connectivity_passes)):
-            tag = "phaseD" if p_i == 0 else f"phaseD{p_i + 1}"
+            tag = (f"phaseD{'' if p_i == 0 else p_i + 1}_{knobs}")
             supply = ckpt.load(tag)
             if supply is None:
                 supply = _connectivity_pass(base_dev, final, ep, cfg,
@@ -963,18 +1007,10 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     supply_dev = jnp.asarray(supply0)
     del supply0
 
-    engine = cfg.connectivity_engine
+    engine = _resolve_engine(cfg, n, d)
     bits = cfg.connectivity_bits
     dim_mult = 8 if bits == 8 else 16
-    if engine == "auto":
-        w16 = -(-W // 16) * 16
-        # fused needs the packed table resident next to base+supply+prune
-        # scratch (~10 GB table budget on a 16 GB chip) and dims on the
-        # byte-row sub-row boundary (pack_neighbor_table)
-        engine = ("fused" if d % dim_mult == 0
-                  and (n + 1) * _row_bytes(w16, d, bits) <= 10e9
-                  else "classic")
-    elif engine == "fused" and d % dim_mult:
+    if engine == "fused" and d % dim_mult:
         raise ValueError(f"connectivity_engine='fused' needs dim % "
                          f"{dim_mult} == 0 at connectivity_bits={bits} "
                          f"(got d={d}); pad the vectors or use 'classic'")
@@ -989,11 +1025,11 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         from mysteryann_tpu.search.seeding import make_seed_sample, seed_scan
         samp, samp_sq, samp_ids = make_seed_sample(
             base_dev, cfg.connectivity_seed_sample)
-    log(f"phase D engine: {engine}"
-        + (f" (bits={bits}, expand={cfg.connectivity_expand}"
+    log(f"phase D engine: {engine} (expand={cfg.connectivity_expand}"
+        + (f", bits={bits}"
            + (f", seeds={seeds}/1-in-{cfg.connectivity_seed_sample}"
-              if seeds else "") + ")"
-           if engine == "fused" else ""))
+              if seeds else "")
+           if engine == "fused" else "") + ")")
 
     # projection rows feed only the per-batch not-seedable mask; above
     # ~4M nodes keep them on the HOST and upload [sb, M] slices (~0.5 MB)
@@ -1065,8 +1101,13 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
                         f"{hops_r.mean():.0f} max {hops_r.max()} "
                         f"(H={H})", end="")
             else:
+                # expand>1 amortizes pool maintenance over several pops
+                # per lockstep step, like the fused engine (the 1M recipe
+                # builds with expand=4); traversal order shifts like the
+                # reference under OpenMP interleaving
                 r = beam_search(base_dev, supply_dev, eps, q,
-                                k=1, L=L, metric=metric, expand=1,
+                                k=1, L=L, metric=metric,
+                                expand=cfg.connectivity_expand,
                                 visited_mode="pool", collect_expanded=H)
                 pool = r.hist_ids                           # [sb, H] dev
                 pool.block_until_ready()

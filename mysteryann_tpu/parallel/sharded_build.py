@@ -286,6 +286,13 @@ def sharded_build_roargraph(
         RoarGraphIndex, _aggregate_reverse, _append_novel, _left_compact,
         _refill_rows_device, compute_medoid)
 
+    if cfg.connectivity_expand != 1:
+        # the distributed beam pops one node per lockstep step; honoring
+        # expand>1 here without implementing it would silently break the
+        # bit-identity contract with the single-device build
+        raise NotImplementedError(
+            "sharded_build_roargraph supports connectivity_expand=1 only "
+            f"(got {cfg.connectivity_expand})")
     metric = Metric.parse(cfg.metric)
     M = cfg.M_pjbp
     n = base.shape[0]

@@ -96,7 +96,8 @@ def main():
         log("== build ==")
         cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
                           metric="ip", query_batch=8192, search_batch=8192,
-                          connectivity_passes=args.passes)
+                          connectivity_passes=args.passes,
+                          connectivity_expand=4)
         from mysteryann_tpu.ops.distances import prepare_vectors
         base_staged = prepare_vectors(base, "ip")
         base_staged.block_until_ready()

@@ -136,10 +136,14 @@ def main():
             pass
     else:
         log("== build ==")
+        # expand=4: four pops per lockstep phase-D step (the 1M recipe's
+        # knob, now honored by the classic engine too) — the v3 world's
+        # ~130-hop searches made expand=1 a ~4 h/pass build at 10M
         cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
                           metric="ip", query_batch=8192,
                           search_batch=args.search_batch,
                           connectivity_passes=args.passes,
+                          connectivity_expand=4,
                           connectivity_engine=args.engine)
         t0 = time.time()
         # shared checkpoint dir: connectivity_passes is fingerprint-neutral,

@@ -16,11 +16,14 @@ def test_checkpoint_resume_identical(tmp_path):
     ck = str(tmp_path / "ck")
     a = build_roargraph(base, train_q, knn, cfg, verbose=False,
                         checkpoint_dir=ck)
-    # phase files + config fingerprint exist
+    # phase files + config fingerprint exist (the phase-D file is
+    # knob-tagged — see _phase_d_knob_tag)
     import os
+    from mysteryann_tpu.graph.roargraph import _phase_d_knob_tag
+    dtag = _phase_d_knob_tag(cfg, base.shape[0], base.shape[1])
     assert {f for f in os.listdir(ck)} == {
         "build_medoid.npy", "build_phaseA.npy", "build_phaseBC.npy",
-        "build_phaseD.npy", "build_meta.json"}
+        f"build_phaseD_{dtag}.npy", "build_meta.json"}
     # resume from checkpoints reproduces the same graph
     b = build_roargraph(base, train_q, knn, cfg, verbose=False,
                         checkpoint_dir=ck)
@@ -29,8 +32,18 @@ def test_checkpoint_resume_identical(tmp_path):
     # and matches an un-checkpointed build
     c = build_roargraph(base, train_q, knn, cfg, verbose=False)
     np.testing.assert_array_equal(a.graph.neighbors, c.graph.neighbors)
-    # a different config invalidates the checkpoints instead of resuming
+    # a phase-D-only knob change keeps the A-C checkpoints (the knobs
+    # are fingerprint-neutral; phase-D outputs are isolated by tag)
     import dataclasses
+    mt_a = os.path.getmtime(os.path.join(ck, "build_phaseA.npy"))
+    cfg_d = dataclasses.replace(cfg, connectivity_expand=2)
+    build_roargraph(base, train_q, knn, cfg_d, verbose=False,
+                    checkpoint_dir=ck)
+    assert os.path.getmtime(os.path.join(ck, "build_phaseA.npy")) == mt_a
+    dtag2 = _phase_d_knob_tag(cfg_d, base.shape[0], base.shape[1])
+    assert dtag2 != dtag
+    assert os.path.exists(os.path.join(ck, f"build_phaseD_{dtag2}.npy"))
+    # a different config invalidates the checkpoints instead of resuming
     cfg2 = dataclasses.replace(cfg, M_pjbp=10)
     build_roargraph(base, train_q, knn, cfg2, verbose=False,
                     checkpoint_dir=ck)
