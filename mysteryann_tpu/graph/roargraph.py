@@ -448,8 +448,9 @@ def _merge_forward_reverse(
     n, A = own.shape
     R = rev.shape[1]
     thresh = cap if prune_threshold is None else prune_threshold
-    own_dev = jnp.asarray(own, jnp.int32)
-    rev_dev = jnp.asarray(rev, jnp.int32)
+    from mysteryann_tpu.utils.transfer import to_device_chunked
+    own_dev = to_device_chunked(own, jnp.int32)
+    rev_dev = to_device_chunked(rev, jnp.int32)   # 3.8 GB at 10M
     # block size bounds the [bs, R, A] device broadcast (~0.5 GB bool)
     bs = max(1024, min(n, (1 << 29) // max(1, R * A)))
     merged = np.empty((n, cap), np.int32)
@@ -1004,7 +1005,8 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     W = 2 * M
     supply0 = np.full((n, W), n, np.int32)
     supply0[:, : projection.shape[1]] = projection[:, : W]
-    supply_dev = jnp.asarray(supply0)
+    from mysteryann_tpu.utils.transfer import to_device_chunked
+    supply_dev = to_device_chunked(supply0)   # 2.56 GB at 10M
     del supply0
 
     engine = _resolve_engine(cfg, n, d)
@@ -1348,8 +1350,9 @@ def _append_novel(projection: np.ndarray, supply: np.ndarray, cap_add: int,
     tests/test_roargraph_build.py), blocked on device."""
     N, M = projection.shape
     w_add = min(cap_add, supply.shape[1])
-    proj_dev = jnp.asarray(projection, jnp.int32)
-    sup_dev = jnp.asarray(supply, jnp.int32)
+    from mysteryann_tpu.utils.transfer import to_device_chunked
+    proj_dev = to_device_chunked(projection, jnp.int32)
+    sup_dev = to_device_chunked(supply, jnp.int32)
     bs = max(1024, min(N, (1 << 29) // max(1, supply.shape[1] * M)))
     out = np.empty((N, M + w_add), np.int32)
     for s in range(0, N, bs):

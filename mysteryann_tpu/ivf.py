@@ -408,11 +408,13 @@ class IVFIndex:
                 .astype(np.int8))
         elif store == "f32":
             self.gscale = 1.0
-            self.blocks = jnp.asarray(blocks)
+            from mysteryann_tpu.utils.transfer import to_device_chunked
+            self.blocks = to_device_chunked(blocks)
         else:
             raise ValueError(f"unknown store={store!r}")
         self.block_ids = jnp.asarray(ids)
-        self.base_f32 = jnp.asarray(base_np) if keep_f32 else None
+        from mysteryann_tpu.utils.transfer import to_device_chunked
+        self.base_f32 = to_device_chunked(base_np) if keep_f32 else None
         self.dim = dim
         if verbose:
             print(f"IVF: {nc} clusters cap {cap} "

@@ -111,9 +111,14 @@ def point_dist(
 
 
 def prepare_vectors(x, metric: Metric | str):
-    """Apply the metric's one-time preprocessing (cosine → normalize)."""
+    """Apply the metric's one-time preprocessing (cosine → normalize).
+
+    Uploads through the chunked fast path — a multi-GB `jnp.asarray`
+    collapses to ~11-25 MB/s through the axon tunnel (utils/transfer.py;
+    measured 450 s for a 10M base the plain way)."""
+    from mysteryann_tpu.utils.transfer import to_device_chunked
     metric = Metric.parse(metric)
-    x = jnp.asarray(x, dtype=jnp.float32)
+    x = to_device_chunked(x, dtype=jnp.float32)
     if metric == Metric.COSINE:
         x = normalize_rows(x)
     return x
