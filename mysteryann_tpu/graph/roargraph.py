@@ -985,7 +985,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     sb = max(8, min(cfg.search_batch, n))
     eps = jnp.asarray([ep], jnp.int32)
     prune_batch = max(8, min(cfg.search_batch, 1024))
-    t_search = t_pack = t_prune = t_fold = 0.0
+    t_search = t_pack = t_prune = t_fold = t_ckpt = 0.0
 
     # Round schedule trades build time for fidelity to the reference's
     # fully incremental pass (each node's search sees all previous
@@ -1136,19 +1136,23 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             chunk_dev.block_until_ready()
             t_prune += _time.perf_counter() - _t0
         if ckpt is not None:
+            _t0 = _time.perf_counter()
             ckpt.save(f"{tag}_r{round_i}", np.asarray(chunk_dev[:chunk]))
+            t_ckpt += _time.perf_counter() - _t0
         _t0 = _time.perf_counter()
         supply_dev, fit = _fold_and_overflow(
             base_dev, supply_dev, chunk_dev[:chunk], r0, n, M, metric,
             prune_batch)
         supply_dev.block_until_ready()
         t_fold += _time.perf_counter() - _t0
-        log(f"\rconnectivity round {min(r1, n)}/{n}", end="")
+        log(f"\rround {round_i}: cumulative search {t_search:.0f}s "
+            f"pack {t_pack:.0f}s prune {t_prune:.0f}s fold {t_fold:.0f}s "
+            f"ckpt {t_ckpt:.0f}s", end="")
         r0 = r1
     log("")
     del table
     log(f"phase D split: search {t_search:.1f}s pack {t_pack:.1f}s "
-        f"prune {t_prune:.1f}s fold {t_fold:.1f}s")
+        f"prune {t_prune:.1f}s fold {t_fold:.1f}s ckpt {t_ckpt:.1f}s")
 
     # overflow re-prune: any row > M goes back through the occlusion prune
     # (reference :1224-1248, no fill)
