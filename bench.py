@@ -109,11 +109,11 @@ def _finish_row(r, gt_i, gt_d, k, metric=METRIC):
 def _contention_sentinel(base) -> list:
     """Median-of-5 ms for a fixed fused matmul+min block on the chip.
 
-    The axon chip is SHARED: the same serving row measured 86.7k and
-    37.2k QPS hours apart, and this block measured 24 ms quiet vs
-    ~61-69 ms under a co-tenant (2026-08-19). Recording the sentinel next
-    to every artifact makes depressed rows diagnosable as contention
-    rather than regression."""
+    Quiet value for THIS construction: ~64 ms (measured 2026-08-19 on a
+    chip concurrently serving the record 86k-QPS row; a co-tenant or a
+    just-killed client's lingering device context roughly doubles it).
+    Recording the sentinel next to every artifact makes depressed rows
+    diagnosable as contention rather than regression."""
     import jax
     import jax.numpy as jnp
     from mysteryann_tpu.utils.fence import fence
@@ -173,7 +173,7 @@ def main():
     gt_i = gt_i.astype(np.int64)
 
     sentinel_pre = _contention_sentinel(base)
-    log(f"contention sentinel (ms, quiet~24): {sentinel_pre}")
+    log(f"contention sentinel (ms, quiet~64): {sentinel_pre}")
 
     # ---- flat MXU index (headline serving mode at this scale) -------------
     # tile=N_BASE: a single fused matmul->select block over all 1M
@@ -324,8 +324,8 @@ def main():
             "graph_build_secs": (None if build_secs is None
                                  else round(build_secs, 1)),
             "baseline_qps_t16": base_qps,
-            # shared-chip context (see _contention_sentinel): ~24 ms when
-            # the chip is quiet; ~60-70 ms under a co-tenant
+            # shared-chip context (see _contention_sentinel): ~64 ms when
+            # the chip is quiet; roughly doubled under a co-tenant
             "contention_sentinel_ms": {"pre": sentinel_pre,
                                        "post": _contention_sentinel(base)},
             "wall_secs": round(time.time() - t_all, 1),
