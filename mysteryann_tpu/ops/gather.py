@@ -26,6 +26,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -94,6 +95,12 @@ def gather_rows(table: jax.Array, idx: jax.Array,
         # one DMA semaphore per in-flight row; the TPU sync-flag space
         # (sflag, 2 KB) holds at most ~500 — 512 semaphores overflow it
         raise ValueError("block must be <= 256 (sflag capacity)")
+    # the [block, *row] output block is a scoped VMEM allocation (16 MB
+    # limit): clamp `block` for fat rows so it stays under budget. E.g.
+    # IVF f32 cluster blocks at 10M are 1.5 MB rows — block=16 would
+    # allocate 23 MB and fail to compile (observed); 9 rows fit.
+    row_bytes = int(np.prod(table.shape[1:])) * table.dtype.itemsize
+    block = max(1, min(block, (14 << 20) // max(1, row_bytes)))
     if jax.devices()[0].platform != "tpu" and not interpret:
         return jnp.take(table, idx, axis=0)
 

@@ -34,6 +34,18 @@ def test_gather_non_multiple_block():
     np.testing.assert_array_equal(got, np.asarray(table)[np.asarray(idx)])
 
 
+def test_gather_fat_rows_clamps_block():
+    # 1.5 MB f32 rows (IVF 10M cluster blocks): the requested block=16
+    # would put a 23 MB output block in scoped VMEM — gather_rows must
+    # clamp the in-flight row count internally and stay correct.
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(
+        rng.standard_normal((12, 2944, 128)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 12, size=21).astype(np.int32))
+    got = np.asarray(gather_rows(table, idx, block=16, interpret=True))
+    np.testing.assert_array_equal(got, np.asarray(table)[np.asarray(idx)])
+
+
 def test_gather_rejects_1d():
     with pytest.raises(ValueError):
         gather_rows(jnp.zeros((10,)), jnp.zeros((3,), jnp.int32))
