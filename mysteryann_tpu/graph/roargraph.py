@@ -511,6 +511,7 @@ def build_roargraph(
     import functools
     import sys
 
+    t_build0 = _time.perf_counter()
     metric = Metric.parse(cfg.metric)
     M = cfg.M_pjbp
     n = base.shape[0]
@@ -527,9 +528,14 @@ def build_roargraph(
     # would let a resume splice phase outputs computed from a DIFFERENT
     # same-shaped corpus into this build (silently wrong adjacency)
     def _digest(a) -> str:
-        a = np.asarray(a)
-        probe = a[:: max(1, a.shape[0] // 64)][:64]
-        return f"{float(np.sum(probe)):.6e}/{float(np.sum(np.abs(a[0]))):.6e}"
+        # slice BEFORE materializing: np.asarray of the full device-resident
+        # base is a multi-hundred-MB device->host download through the
+        # tunnel (measured ~0.5 GB untimed at 1M); the probe rows are KBs.
+        # Same probe rows + f32 values either way, so digests (and thus
+        # existing checkpoint fingerprints) are unchanged.
+        probe = np.asarray(a[:: max(1, a.shape[0] // 64)][:64])
+        row0 = np.asarray(a[0])
+        return f"{float(np.sum(probe)):.6e}/{float(np.sum(np.abs(row0))):.6e}"
 
     # fingerprint-NEUTRAL knobs: connectivity_passes (pass p's checkpoint
     # is identical whatever the total pass count, so a 1-pass build
@@ -652,6 +658,14 @@ def build_roargraph(
     st = g.degree_stats()
     log(f"phase D: final degree avg {st['avg']:.1f} max {st['max']} "
         f"zero {st['zero']} ({t_d.elapsed:.2f}s)")
+
+    # residual accounting: time inside this function but outside the four
+    # phase timers (ckpt fingerprinting, host allocs, degree stats) — the
+    # r2 build had ~110 s hiding here (the _digest full-base download)
+    t_other = (_time.perf_counter() - t_build0 - t_med.elapsed
+               - t_a.elapsed - t_bc.elapsed - t_d.elapsed)
+    log(f"build split: medoid {t_med.elapsed:.1f}s A {t_a.elapsed:.1f}s "
+        f"BC {t_bc.elapsed:.1f}s D {t_d.elapsed:.1f}s other {t_other:.1f}s")
 
     from mysteryann_tpu.utils.trace import tracer
     tr = tracer()
@@ -955,6 +969,35 @@ def _fold_and_overflow(base_dev, supply_dev, chunk_lists, r0, n, M, metric,
     return supply_dev, fit
 
 
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("n_base", "M", "d", "bits"))
+def _scatter_pack_rows(table, base, ids, supply, *, n_base, M, d, bits):
+    """Repack ONLY the given supply rows into the fused byte-row table.
+
+    ids int32 [B] (pad slots = n_base, which rewrites the sentinel row
+    with sentinel content — a no-op by construction). Byte-identical to
+    a full `pack_neighbor_table` for those rows: `_pack_chunk` is a pure
+    per-row function of (base, row)."""
+    from mysteryann_tpu.search.fused import _pack_chunk
+    safe = jnp.minimum(ids, n_base - 1)
+    rows = jnp.take(supply, safe, axis=0).astype(jnp.int32)
+    rows = jnp.where((ids >= n_base)[:, None], n_base, rows)
+    p = _pack_chunk(base, rows, n_base=n_base, M=M, d=d, bits=bits)
+    return table.at[ids].set(p, mode="drop")
+
+
+def _repack_changed(table, base_dev, supply_dev, ids_np, n, M, d, bits,
+                    blk: int = 32768):
+    """Scatter-repack the changed rows in fixed-size blocks (one compile)."""
+    for s in range(0, ids_np.size, blk):
+        b = ids_np[s: s + blk]
+        idp = np.full(blk, n, np.int32)
+        idp[: b.size] = b
+        table = _scatter_pack_rows(table, base_dev, jnp.asarray(idp),
+                                   supply_dev, n_base=n, M=M, d=d, bits=bits)
+    return table
+
+
 def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
                        ckpt=None, tag="phaseD"):
     """Phase D: per-node search + prune + reverse supply edges.
@@ -1047,6 +1090,8 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         return jax.lax.dynamic_slice_in_dim(proj_dev, sl, sb, 0)
 
     table = None
+    packed_supply = None  # supply snapshot the current table reflects
+    Mt = None
     H = cfg.history_mult * L  # history ≈ reference full_retset size
     r0 = 0
     for round_i, chunk in enumerate(chunks):
@@ -1067,11 +1112,32 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             continue
         if engine == "fused":
             _t0 = _time.perf_counter()
-            # repack INTO the previous round's table buffer (donated) —
-            # a fresh multi-GB contiguous alloc into the fragmented heap
-            # OOMs at 1M even though total free HBM suffices
-            table, Mt = pack_neighbor_table(base_dev, supply_dev,
-                                            into=table, bits=bits)
+            # Incremental repack: diff the supply against the snapshot the
+            # current table was packed from and scatter-repack only changed
+            # rows (byte-identical — _pack_chunk is pure per row). Late
+            # pass-1 and all pass-2 rounds change a small fraction of rows
+            # (the graph converges; reverse candidates dedup away), so this
+            # turns the ~3 s/round full repack into ~ms. Full repack when
+            # >40% changed (scatter overhead passes the dense rewrite) or
+            # on the first round. The snapshot is an explicit copy: the
+            # fold donates supply_dev, which would invalidate a reference.
+            W_sup = supply_dev.shape[1]
+            if table is not None and packed_supply is not None \
+                    and W_sup % 16 == 0:
+                changed = jnp.any(packed_supply != supply_dev, axis=1)
+                ids_np = np.nonzero(np.asarray(changed))[0].astype(np.int32)
+            else:
+                ids_np = None
+            if ids_np is None or ids_np.size > (2 * n) // 5:
+                # repack INTO the previous round's table buffer (donated) —
+                # a fresh multi-GB contiguous alloc into the fragmented
+                # heap OOMs at 1M even though total free HBM suffices
+                table, Mt = pack_neighbor_table(base_dev, supply_dev,
+                                                into=table, bits=bits)
+            else:
+                table = _repack_changed(table, base_dev, supply_dev,
+                                        ids_np, n, Mt, d, bits)
+            packed_supply = jnp.copy(supply_dev)
             table.block_until_ready()
             t_pack += _time.perf_counter() - _t0
         # device buffer for this chunk's pruned lists (+1 sentinel row for

@@ -127,3 +127,29 @@ def test_fused_pool_mode_matches_merge(built):
     # pool membership vs merge dedup: same soundness argument (beam.py);
     # results may differ by ulp-level traversal ties only
     assert abs(ra - rb) < 0.01, (ra, rb)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_incremental_repack_bit_identical(bits):
+    """Scatter-repacking only changed supply rows must produce a table
+    byte-identical to a full repack (the build's per-round fast path —
+    graph/roargraph.py _repack_changed)."""
+    import jax.numpy as jnp
+    from mysteryann_tpu.search.fused import pack_neighbor_table
+    from mysteryann_tpu.graph.roargraph import _repack_changed
+
+    rng = np.random.default_rng(5)
+    n, d, W = 512, 128, 32
+    base = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+    sup0 = rng.integers(0, n + 1, size=(n, W)).astype(np.int32)
+    table, Mt = pack_neighbor_table(base, jnp.asarray(sup0), bits=bits)
+
+    # mutate a sparse set of rows (incl. row 0 and the last row)
+    sup1 = sup0.copy()
+    changed = np.asarray([0, 3, 17, 100, n - 1], np.int32)
+    sup1[changed] = rng.integers(0, n + 1, size=(changed.size, W))
+
+    full, _ = pack_neighbor_table(base, jnp.asarray(sup1), bits=bits)
+    inc = _repack_changed(jnp.copy(table), base, jnp.asarray(sup1),
+                          changed, n, Mt, d, bits, blk=4)
+    np.testing.assert_array_equal(np.asarray(inc), np.asarray(full))
