@@ -298,39 +298,56 @@ def main():
     value = best["qps"] if best else 0.0
 
     base_qps = read_baseline_qps()
+
+    def _r(row):
+        return {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                for kk, vv in (row or {}).items()}
+
+    detail = {
+        "mode": ("flat" if best is flat_row else
+                 "flat_int8" if best is flat8_row else
+                 "roargraph" if best else "none"),
+        "recall": round(best["recall"], 4) if best else 0.0,
+        "flat": _r(flat_row),
+        "flat_int8": _r(flat8_row),
+        "graph_rows": [_r(r) for r in graph_rows],
+        "graph_rows_int4": [_r(r) for r in graph_rows_int4],
+        "classic_graph_row": _r(classic_row),
+        "graph_build_secs": (None if build_secs is None
+                             else round(build_secs, 1)),
+        "baseline_qps_t16": base_qps,
+        # shared-chip context (see _contention_sentinel): ~64 ms when
+        # the chip is quiet; roughly doubled under a co-tenant
+        "contention_sentinel_ms": {"pre": sentinel_pre,
+                                   "post": _contention_sentinel(base)},
+        "wall_secs": round(time.time() - t_all, 1),
+    }
+    gbest = _r(graph_best) if graph_best else None
     result = {
         "metric": f"QPS/chip at recall@{K}>={TARGET_RECALL} on synthetic "
                   f"T2I-1M ({DIM}d, IP, OOD)",
         "value": round(value, 1),
         "unit": "QPS",
         "vs_baseline": round(value / base_qps, 3) if base_qps else 0.0,
+        # compact summary only — the driver records a bounded tail of
+        # stdout, and BENCH_r03's headline was truncated out by the full
+        # row dump (VERDICT r3 weak #4). Full rows: bench_detail.json.
         "detail": {
-            "mode": ("flat" if best is flat_row else
-                     "flat_int8" if best is flat8_row else
-                     "roargraph" if best else "none"),
-            "recall": round(best["recall"], 4) if best else 0.0,
-            "flat": {kk: (round(vv, 4) if isinstance(vv, float) else vv)
-                     for kk, vv in (flat_row or {}).items()},
-            "flat_int8": {kk: (round(vv, 4) if isinstance(vv, float) else vv)
-                          for kk, vv in (flat8_row or {}).items()},
-            "graph_rows": [{kk: (round(vv, 4) if isinstance(vv, float) else vv)
-                            for kk, vv in r.items()} for r in graph_rows],
-            "graph_rows_int4": [
-                {kk: (round(vv, 4) if isinstance(vv, float) else vv)
-                 for kk, vv in r.items()} for r in graph_rows_int4],
-            "classic_graph_row": {kk: (round(vv, 4) if isinstance(vv, float)
-                                       else vv)
-                                  for kk, vv in classic_row.items()},
-            "graph_build_secs": (None if build_secs is None
-                                 else round(build_secs, 1)),
+            "mode": detail["mode"], "recall": detail["recall"],
+            "flat_qps": detail["flat"].get("qps"),
+            "graph_best": ({"qps": gbest["qps"], "recall": gbest["recall"],
+                            "L": gbest.get("L_pq")} if gbest else None),
+            "graph_build_secs": detail["graph_build_secs"],
             "baseline_qps_t16": base_qps,
-            # shared-chip context (see _contention_sentinel): ~64 ms when
-            # the chip is quiet; roughly doubled under a co-tenant
-            "contention_sentinel_ms": {"pre": sentinel_pre,
-                                       "post": _contention_sentinel(base)},
-            "wall_secs": round(time.time() - t_all, 1),
+            "detail_file": "bench_detail.json",
         },
     }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump({**result, "detail": detail}, f, indent=1)
+    log(json.dumps(detail))  # full rows on stderr for interactive runs
+    # the headline line is LAST on stdout and compact (< ~600 chars)
     print(json.dumps(result))
 
 

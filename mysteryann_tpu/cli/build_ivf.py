@@ -15,9 +15,11 @@ import time
 
 from mysteryann_tpu.cli.common import load_vectors
 from mysteryann_tpu.ivf import IVFIndex
+from mysteryann_tpu.utils.cache import enable_compile_cache
 
 
 def main(argv=None) -> int:
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_type", default="float", choices=["float"])
     p.add_argument("--dist", default="ip", choices=["l2", "ip", "cosine"])

@@ -17,12 +17,13 @@ import numpy as np
 from mysteryann_tpu.io import read_fbin
 from mysteryann_tpu.utils.cache import enable_compile_cache
 
-# every CLI pays the search/build-loop compile on first run otherwise —
-# the env-var route is ignored by this JAX build (utils/cache.py)
-enable_compile_cache()
-
 
 def add_common_build_flags(p: argparse.ArgumentParser) -> None:
+    # every CLI pays the search/build-loop compile on first run
+    # otherwise — the env-var route is ignored by this JAX build
+    # (utils/cache.py). Called here, not at module import, so importing
+    # the package never mutates the filesystem.
+    enable_compile_cache()
     p.add_argument("--data_type", default="float",
                    choices=["float"], help="vector dtype (fbin payload)")
     p.add_argument("--dist", default="ip", choices=["l2", "ip", "cosine"])
@@ -41,6 +42,7 @@ def add_common_build_flags(p: argparse.ArgumentParser) -> None:
 
 
 def add_common_search_flags(p: argparse.ArgumentParser) -> None:
+    enable_compile_cache()  # see add_common_build_flags
     p.add_argument("--data_type", default="float", choices=["float"])
     p.add_argument("--dist", default="", help="override metric (else sidecar)")
     p.add_argument("--base_data_path", required=True)

@@ -22,10 +22,12 @@ from mysteryann_tpu.cli.common import (
 )
 from mysteryann_tpu.io import read_gt_with_dist
 from mysteryann_tpu.ivf import IVFIndex
+from mysteryann_tpu.utils.cache import enable_compile_cache
 from mysteryann_tpu.utils.metrics import compute_recall, compute_rderr
 
 
 def main(argv=None) -> int:
+    enable_compile_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data_type", default="float", choices=["float"])
     p.add_argument("--dist", default="",

@@ -272,13 +272,29 @@ class ShardedFusedSearcher:
         self.table = jax.device_put(
             host, NamedSharding(mesh, P("mp", None, None, None)))
         del host
-        # rerank base, same row split (zero rows pad the tail shard)
+        # rerank base, same row split (zero rows pad the tail shard).
+        # Assembled from a HOST-side prepared copy — downloading the
+        # multi-GB device array back would ride the slow device->host
+        # path at exactly the 10M+ scale this module targets
+        # (BASELINE.md transfer-path note); the metric preprocessing
+        # (f32 cast + cosine row-normalize + column pad) is cheap in
+        # numpy and bit-matches prepare_vectors'.
+        b_np = np.asarray(base, np.float32)
+        if self.metric == Metric.COSINE:
+            # same formula as ops.distances.normalize_rows (sqrt-of-sum
+            # in f32, eps=1e-12) so the shards bit-match prepare_vectors
+            norms = np.sqrt(np.sum(b_np * b_np, axis=1, keepdims=True,
+                                   dtype=np.float32))
+            b_np = (b_np / np.maximum(norms, np.float32(1e-12))
+                    ).astype(np.float32)
+        if pad_c:
+            b_np = np.pad(b_np, ((0, 0), (0, pad_c)))
         bh = np.zeros((self.mp, sn, d), np.float32)
-        b_np = np.asarray(base_dev)
         for j in range(self.mp):
             lo = j * sn
             avail = max(0, min(lo + sn, n) - lo)
             bh[j, :avail] = b_np[lo: lo + avail]
+        del b_np
         self.base_sh = jax.device_put(
             bh, NamedSharding(mesh, P("mp", None, None)))
         del bh

@@ -29,7 +29,10 @@ def enable_compile_cache(path: str | None = None,
             "JAX_COMPILATION_CACHE_DIR",
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".cache", "jax"))
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return  # read-only install: run without the persistent cache
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)

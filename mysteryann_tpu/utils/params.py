@@ -42,19 +42,22 @@ class BuildConfig:
     # (sharded builds resolve "auto" to classic and reject "fused" —
     # see parallel/sharded_build.py's exactness contract).
     connectivity_engine: str = "auto"
-    # phase-D fused-engine throughput knobs (classic engine ignores both):
+    # phase-D throughput knobs:
     # - connectivity_expand: closest-unexpanded pops per traversal step
-    #   (search/fused.py ``expand``). Total pops stay ~L_pjpq, so the DMA
-    #   bytes are unchanged, but per-step fixed costs (pool merge, loop
-    #   overhead) amortize over `expand` expansions — the phase-D search
-    #   time lever. Traversal order differs slightly from expand=1 (the
-    #   2nd pop in a step ignores the 1st pop's results), like the
-    #   reference's OpenMP interleaving; the prune still sees the same
+    #   (search/fused.py ``expand``; honored by BOTH engines — the
+    #   classic beam accepts the same knob). Total pops stay ~L_pjpq, so
+    #   the DMA bytes are unchanged, but per-step fixed costs (pool
+    #   merge, loop overhead) amortize over `expand` expansions — the
+    #   phase-D search time lever. Traversal order differs slightly from
+    #   expand=1 (the 2nd pop in a step ignores the 1st pop's results),
+    #   like the reference's OpenMP interleaving, so expand changes the
+    #   built graph under either engine; the prune still sees the same
     #   kind of expansion history.
     # - connectivity_bits: traversal-row quantization for the repacked
     #   supply table (8 = int8, 4 = packed int4 — half the per-expansion
-    #   DMA bytes and half the table HBM). The prune recomputes exact
-    #   f32 distances over the collected pool either way, so row bits
+    #   DMA bytes and half the table HBM). Fused-only: the classic
+    #   engine has no packed table. The prune recomputes exact f32
+    #   distances over the collected pool either way, so row bits
     #   affect traversal order only.
     connectivity_expand: int = 1
     connectivity_bits: int = 8
