@@ -18,8 +18,9 @@ can be *built*, not just served:
 
 Exactness contract: `sharded_build_roargraph(mesh, ...)` produces the
 same adjacency as `graph.build_roargraph` for identical inputs **with
-``connectivity_engine="classic"``** — pinned by
-tests/test_sharded_build.py. Phase D here always searches through the
+``connectivity_engine="classic"``**, at every ``connectivity_expand``
+(the distributed beam mirrors the single-chip multi-pop selection
+bit-for-bit) — pinned by tests/test_sharded_build.py. Phase D here always searches through the
 distributed classic engine; the fused byte-row engine is a single-chip
 accelerator (its int8 search visits different nodes, so a fused
 single-device build is a different — equally valid — graph).
@@ -286,13 +287,6 @@ def sharded_build_roargraph(
         RoarGraphIndex, _aggregate_reverse, _append_novel, _left_compact,
         _refill_rows_device, compute_medoid)
 
-    if cfg.connectivity_expand != 1:
-        # the distributed beam pops one node per lockstep step; honoring
-        # expand>1 here without implementing it would silently break the
-        # bit-identity contract with the single-device build
-        raise NotImplementedError(
-            "sharded_build_roargraph supports connectivity_expand=1 only "
-            f"(got {cfg.connectivity_expand})")
     metric = Metric.parse(cfg.metric)
     M = cfg.M_pjbp
     n = base.shape[0]
@@ -464,7 +458,8 @@ def _connectivity_pass_sharded(mesh, base_sh, projection, ep, cfg, metric,
                 mesh, base_sh, np.arange(sl, sl + sb, dtype=np.int32))
             r = distributed_beam_search(
                 mesh, base_sh, supply_sh, eps_j, q, k=1, L=L,
-                metric=metric, visited_mode="pool", collect_expanded=H)
+                metric=metric, visited_mode="pool", collect_expanded=H,
+                expand=cfg.connectivity_expand)
             pool = r.hist_ids                                    # [sb, H]
             node_ids = np.arange(sl, sl + sb, dtype=np.int32)
             proj_rows = jnp.asarray(projection[sl: sl + sb])

@@ -64,6 +64,7 @@ def distributed_beam_search(
     max_hops: int = 0,
     visited_mode: str = "bitmask",
     collect_expanded: int = 0,
+    expand: int = 1,
 ) -> SearchResult:
     """``visited_mode``: "bitmask" keeps the exact per-query visited
     bitmask (``[B, N/32]`` HBM per dp shard — fine to ~10M); "merge"
@@ -76,7 +77,13 @@ def distributed_beam_search(
 
     ``collect_expanded=H`` returns the expansion history
     (reference full_retset) like `beam_search` — required by the sharded
-    build's phase D."""
+    build's phase D.
+
+    ``expand``: nodes popped per lockstep step (the single-chip engine's
+    knob — pool-maintenance sorts amortize over `expand` expansions).
+    Selection/merge logic mirrors `beam_search` exactly, so traversal is
+    bit-identical to the single-device engine at every expand (pinned by
+    tests/test_sharded_build.py)."""
     metric = Metric.parse(metric)
     if visited_mode not in ("bitmask", "merge", "pool"):
         raise ValueError(f"unknown visited_mode {visited_mode!r}")
@@ -95,7 +102,7 @@ def distributed_beam_search(
     if max_hops <= 0:
         max_hops = 4 * L + 32
     fn = _dist_search_fn(mesh, n, n // mp, k, L, metric, max_hops,
-                         visited_mode, collect_expanded)
+                         visited_mode, collect_expanded, expand)
     q = jax.device_put(queries, NamedSharding(mesh, P("dp", None)))
     b = jax.device_put(base, NamedSharding(mesh, P("mp", None)))
     nb = jax.device_put(neighbors, NamedSharding(mesh, P("mp", None)))
@@ -110,7 +117,7 @@ def distributed_beam_search(
 @functools.lru_cache(maxsize=32)
 def _dist_search_fn(mesh: Mesh, n: int, shard_n: int, k: int, L: int,
                     metric: Metric, max_hops: int, visited_mode: str,
-                    collect_expanded: int):
+                    collect_expanded: int, expand: int = 1):
     use_merge = visited_mode == "merge"
     use_pool = visited_mode == "pool"
     n_words = -(-n // 32) if visited_mode == "bitmask" else 1
@@ -125,13 +132,13 @@ def _dist_search_fn(mesh: Mesh, n: int, shard_n: int, k: int, L: int,
         b_sq = jnp.sum(b_shard * b_shard, axis=-1)
         q_sq = jnp.sum(q * q, axis=-1)
 
-        def gather_rows(ids):           # ids [bl] global -> [bl, M]
+        def gather_rows(ids):           # ids [bl, e] global -> [bl, e, M]
             owned = (ids >= off) & (ids < off + shard_n)
             loc = jnp.take(nb_shard, jnp.clip(ids - off, 0, shard_n - 1),
                            axis=0)
-            contrib = jnp.where(owned[:, None], loc, 0)
+            contrib = jnp.where(owned[..., None], loc, 0)
             rows = jax.lax.psum(contrib, "mp")
-            return jnp.where((ids < n)[:, None], rows, n)
+            return jnp.where((ids < n)[..., None], rows, n)
 
         def dist_to_q(ids):             # ids [bl, M] global -> [bl, M]
             owned = (ids >= off) & (ids < off + shard_n)
@@ -172,20 +179,41 @@ def _dist_search_fn(mesh: Mesh, n: int, shard_n: int, k: int, L: int,
         def body(st):
             (cand_ids, cand_d, cand_exp, visited, cmps, hops,
              hist_ids, hist_d, it) = st
+            # -- pick the `expand` closest unexpanded entries per query --
+            # (mirrors search/beam.py body exactly, incl. the expand==1
+            # fast path — bit-identity with the single-chip engine is the
+            # sharded build's exactness contract)
             unexp = ~cand_exp
             has = jnp.any(unexp, axis=1)
-            sel = jnp.argmax(unexp, axis=1)
-            b_i = jnp.arange(bl)
-            cur = jnp.where(has, cand_ids[b_i, sel], n)
+            if expand == 1:
+                sel = jnp.argmax(unexp, axis=1)[:, None]      # [bl, 1]
+                sel_valid = has[:, None]
+            else:
+                rank = jnp.cumsum(unexp.astype(jnp.int32), axis=1) - 1
+                onrank = unexp & (rank < expand)
+                nsel = jnp.sum(onrank, axis=1)                # [bl]
+                key = jnp.where(
+                    onrank,
+                    jax.lax.broadcasted_iota(jnp.int32, unexp.shape, 1),
+                    jnp.int32(L + 1))
+                sel = jax.lax.top_k(-key, expand)[0] * -1     # [bl, e]
+                sel_valid = sel <= L
+                sel = jnp.minimum(sel, L - 1)
+                sel_valid = sel_valid & (jax.lax.broadcasted_iota(
+                    jnp.int32, sel.shape, 1) < nsel[:, None])
+            b_i = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+            cur = jnp.where(sel_valid, cand_ids[b_i, sel], n)  # [bl, e]
             if collect_expanded > 0:
-                cur_d = jnp.where(has, cand_d[b_i, sel], _INF)
-                pos = jnp.where(has, hops, H)  # H = OOB → dropped
+                cur_d = jnp.where(sel_valid, cand_d[b_i, sel], _INF)
+                pos = hops[:, None] + jax.lax.broadcasted_iota(
+                    jnp.int32, sel.shape, 1)
+                pos = jnp.where(sel_valid, pos, H)  # H = OOB → dropped
                 hist_ids = hist_ids.at[b_i, pos].set(cur, mode="drop")
                 hist_d = hist_d.at[b_i, pos].set(cur_d, mode="drop")
-            cand_exp = cand_exp.at[b_i, jnp.where(has, sel, L)].set(
+            cand_exp = cand_exp.at[b_i, jnp.where(sel_valid, sel, L)].set(
                 True, mode="drop")
 
-            nbrs = gather_rows(cur)                          # [bl, M]
+            nbrs = gather_rows(cur).reshape(bl, -1)          # [bl, e*M]
             in_b = nbrs < n
             nb_c = jnp.where(in_b, nbrs, 0)
             if use_merge:
@@ -214,7 +242,7 @@ def _dist_search_fn(mesh: Mesh, n: int, shard_n: int, k: int, L: int,
             nd = jnp.where(fresh, dist_to_q(nb_c), _INF)
             new_ids = jnp.where(fresh, nbrs, n)
             cmps = cmps + jnp.sum(fresh, axis=1, dtype=jnp.int32)
-            hops = hops + has.astype(jnp.int32)
+            hops = hops + jnp.sum(sel_valid, axis=1, dtype=jnp.int32)
 
             all_d = jnp.concatenate([cand_d, nd], axis=1)
             all_i = jnp.concatenate([cand_ids, new_ids], axis=1)

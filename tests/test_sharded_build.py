@@ -80,6 +80,47 @@ def test_distributed_pool_search_hist_matches(world):
     np.testing.assert_array_equal(np.asarray(got.ids), np.asarray(want.ids))
 
 
+def test_distributed_search_expand_matches(world):
+    # expand>1: multi-pop selection must mirror the single-chip engine
+    # bit-for-bit (VERDICT r3 #7 — the 1M recipe builds with expand=4)
+    base, train_q, knn = world
+    mesh = make_mesh(dp=2, mp=4)
+    base_dev = prepare_vectors(base, Metric.IP)
+    _, ids = exact_knn(base, base, k=9, metric="ip", precision="highest")
+    nb = np.asarray(ids[:, 1:], np.int32)
+    eps = jnp.asarray([3], jnp.int32)
+    q = base_dev[:64]
+    H = 3 * 32
+    for e in (2, 4):
+        want = beam_search(base_dev, jnp.asarray(nb), eps, q, k=1, L=32,
+                           metric=Metric.IP, visited_mode="pool",
+                           collect_expanded=H, expand=e)
+        got = distributed_beam_search(mesh, base_dev, jnp.asarray(nb), eps,
+                                      q, k=1, L=32, metric=Metric.IP,
+                                      visited_mode="pool",
+                                      collect_expanded=H, expand=e)
+        np.testing.assert_array_equal(np.asarray(got.hist_ids),
+                                      np.asarray(want.hist_ids))
+        np.testing.assert_array_equal(np.asarray(got.ids),
+                                      np.asarray(want.ids))
+        np.testing.assert_array_equal(np.asarray(got.hops),
+                                      np.asarray(want.hops))
+
+
+def test_sharded_build_expand4_matches_single_device(world):
+    # the recommended 1M recipe's knobs (expand=4, 2 passes) through the
+    # sharded build — dryrun stage 5 runs this same config
+    base, train_q, knn = world
+    mesh = make_mesh(dp=2, mp=4)
+    import dataclasses
+    cfg = dataclasses.replace(CFG, connectivity_expand=4,
+                              connectivity_passes=2)
+    want = build_roargraph(base, train_q, knn, cfg, verbose=False)
+    got = sharded_build_roargraph(mesh, base, train_q, knn, cfg)
+    assert got.graph.ep == want.graph.ep
+    np.testing.assert_array_equal(got.graph.neighbors, want.graph.neighbors)
+
+
 def test_take_scatter_rows_sharded():
     mesh = make_mesh(dp=2, mp=4)
     from jax.sharding import NamedSharding, PartitionSpec as P
