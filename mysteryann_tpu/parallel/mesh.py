@@ -52,6 +52,61 @@ def make_mesh(dp: int = 1, mp: int = 1, devices=None,
     return Mesh(dev, axis_names=("dp", "mp"))
 
 
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Join (or start) a multi-host JAX cluster.
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``: on TPU
+    pods the three arguments come from the environment and may all be
+    ``None``; for a manual bring-up (or the CPU smoke test,
+    tests/test_multihost.py) pass them explicitly. After this returns,
+    ``jax.devices()`` is the GLOBAL device list — every process must
+    then call :func:`make_mesh` with identical arguments.
+
+    Safe to call twice: a second call with a live client is a no-op.
+
+    ORDERING: like ``jax.distributed.initialize`` itself, this must run
+    before anything initializes the XLA backend (first jit, device_put,
+    ``jax.devices()`` — and therefore before importing modules that do
+    any of those at import time).
+    """
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_mesh_distributed(dp: int = 0, mp: int = 1,
+                          coordinator: str | None = None,
+                          num_processes: int | None = None,
+                          process_id: int | None = None) -> Mesh:
+    """Multi-host (DCN) mesh: initialize the cluster, then lay ``mp``
+    within hosts and ``dp`` across them.
+
+    The T2I-100M config (BASELINE.json) needs more HBM than one host:
+    base + adjacency shard over ``mp`` *inside* each host (per-hop
+    psums stay on ICI), while ``dp`` — whose shards never exchange data
+    during a search, only at the final result concat — is the axis that
+    crosses DCN. ``dp=0`` means "all remaining devices":
+    ``dp = len(jax.devices()) // mp``.
+
+    Traffic budget (why this layout; docs/ARCHITECTURE.md "Multi-host
+    meshes" carries the derivation): per beam expansion the ``mp`` psums
+    move ~[B, M]·(4+4) bytes (neighbor row + partial distances) — at
+    B=8192, M=32 that is ~2 MB per hop, ~0.6 GB per L=300 query batch —
+    ICI-class traffic (~100s GB/s), catastrophic at DCN-class
+    (~10s Gb/s). The ``dp`` axis moves only the [B, k] results once per
+    batch (~KBs) — DCN is fine there.
+    """
+    init_distributed(coordinator, num_processes, process_id)
+    devices = jax.devices()
+    if dp == 0:
+        dp = max(1, len(devices) // mp)
+    return make_mesh(dp=dp, mp=mp, devices=devices)
+
+
 def shard_base(mesh: Mesh, x, axis: str = "mp"):
     """Shard a [N, ...] array's leading dim across the given mesh axis."""
     return jax.device_put(x, NamedSharding(mesh, P(axis)))
