@@ -143,14 +143,48 @@ def _bench_median(bench_fn, gt_i, gt_d, k, repeats=REPEATS):
     return row
 
 
+def _build_index(base, train_q, knn, index_path, checkpoint_dir):
+    """Build + save the graph index (run in an ISOLATED subprocess:
+    serving QPS measured in the same process right after a build runs
+    ~2x slow and unstable — BASELINE.md measurement discipline; the r3
+    bench's 2x in-row fused spread traced to exactly this)."""
+    from mysteryann_tpu.graph import build_roargraph
+    from mysteryann_tpu.utils.params import BuildConfig
+
+    # connectivity_passes=2: the second phase-D sweep searches the
+    # completed graph (measured at 1M: recall@10 at L=100 .794 -> .865,
+    # beating the reference's .838 on identical data)
+    cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
+                      metric=METRIC, query_batch=8192, search_batch=8192,
+                      connectivity_passes=2,
+                      connectivity_expand=BUILD_EXPAND,
+                      connectivity_bits=BUILD_BITS)
+    # stage the base in HBM before the clock: the reference's build
+    # timer starts with data already in RAM (baseline/
+    # bench_reference.cpp — load_data precedes t0, BuildRoarGraph
+    # gets in-memory pointers), so ours starts with data already in
+    # the chip's working memory
+    from mysteryann_tpu.ops.distances import prepare_vectors
+    base_staged = prepare_vectors(base, METRIC)
+    base_staged.block_until_ready()
+    t0 = time.time()
+    index = build_roargraph(base_staged, train_q, knn, cfg, verbose=True,
+                            checkpoint_dir=checkpoint_dir)
+    build_secs = time.time() - t0
+    log(f"build took {build_secs:.1f}s")
+    index.save(index_path)
+    with open(index_path + ".build.json", "w") as f:
+        json.dump({"build_secs": round(build_secs, 1)}, f)
+
+
 def main():
     from mysteryann_tpu.io import make_cross_modal
     from mysteryann_tpu.ops import exact_knn
     from mysteryann_tpu.flat import FlatIndex
-    from mysteryann_tpu.graph import build_roargraph, RoarGraphIndex
+    from mysteryann_tpu.graph import RoarGraphIndex
     from mysteryann_tpu.search import Searcher
-    from mysteryann_tpu.utils.params import BuildConfig
 
+    build_only = "--build-only" in sys.argv
     t_all = time.time()
     key = f"t2i1m_{KEY_VERSION}_{N_BASE}_{N_TRAIN}_{DIM}"
 
@@ -172,6 +206,26 @@ def main():
                   base_tile=131072, precision="highest"))))
     gt_i = gt_i.astype(np.int64)
 
+    tag = f"p2e{BUILD_EXPAND}b{BUILD_BITS}"
+    index_path = os.path.join(
+        CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_{tag}_proj.index")
+    ck_dir = os.path.join(CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_{tag}_ck")
+    if build_only:
+        log("== build (child process) ==")
+        (knn_b,) = _cached(key + "_knn", lambda: [exact_knn(
+            train_q, base, k=M_SQ, metric=METRIC, query_batch=8192,
+            base_tile=131072, approx=True)[1]])
+        _build_index(base, train_q, knn_b, index_path, ck_dir)
+        return
+    if not os.path.exists(index_path):
+        # build FIRST, in a subprocess (see _build_index) — every timed
+        # row below then runs in a device context that never held the
+        # build's multi-GB working set
+        import subprocess
+        log("== build (isolated subprocess) ==")
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--build-only"], check=True)
+
     sentinel_pre = _contention_sentinel(base)
     log(f"contention sentinel (ms, quiet~64): {sentinel_pre}")
 
@@ -187,7 +241,7 @@ def main():
         lambda warmup: flat.benchmark(eval_q, k=K, warmup=warmup),
         gt_i, gt_d, K)
     log(f"flat: QPS={flat_row['qps']:.0f} recall={flat_row['recall']:.4f}")
-    del flat  # release its device-resident base copy before the build
+    del flat  # release its device-resident base copy before the next mode
 
     # int8 flat (global-scale fused scan + exact f32 rerank; oversample=2
     # beat oversample=4 — the rerank gather is descriptor-bound, so
@@ -202,51 +256,14 @@ def main():
     del flat8
 
     # ---- RoarGraph engine (parity evidence + large-N regime) --------------
-    log("== train kNN (build input) ==")
-    (knn,) = _cached(key + "_knn", lambda: [exact_knn(
-        train_q, base, k=M_SQ, metric=METRIC, query_batch=8192,
-        base_tile=131072, approx=True)[1]])
-
-    tag = f"p2e{BUILD_EXPAND}b{BUILD_BITS}"
-    index_path = os.path.join(
-        CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_{tag}_proj.index")
+    index = RoarGraphIndex.load(index_path)
     build_secs = None
-    if os.path.exists(index_path):
-        index = RoarGraphIndex.load(index_path)
-        # build time sidecar: cache hits must still report graph_build_secs
-        try:
-            with open(index_path + ".build.json") as f:
-                build_secs = json.load(f)["build_secs"]
-        except (OSError, KeyError, ValueError):
-            pass
-    else:
-        log("== build ==")
-        # connectivity_passes=2: the second phase-D sweep searches the
-        # completed graph (measured at 1M: recall@10 at L=100 .794 -> .865,
-        # beating the reference's .838 on identical data)
-        cfg = BuildConfig(M_sq=M_SQ, M_pjbp=M_PJBP, L_pjpq=L_PJPQ,
-                          metric=METRIC, query_batch=8192, search_batch=8192,
-                          connectivity_passes=2,
-                          connectivity_expand=BUILD_EXPAND,
-                          connectivity_bits=BUILD_BITS)
-        # stage the base in HBM before the clock: the reference's build
-        # timer starts with data already in RAM (baseline/
-        # bench_reference.cpp — load_data precedes t0, BuildRoarGraph
-        # gets in-memory pointers), so ours starts with data already in
-        # the chip's working memory
-        from mysteryann_tpu.ops.distances import prepare_vectors
-        base_staged = prepare_vectors(base, METRIC)
-        base_staged.block_until_ready()
-        t0 = time.time()
-        index = build_roargraph(
-            base_staged, train_q, knn, cfg, verbose=True,
-            checkpoint_dir=os.path.join(
-                CACHE, f"{key}_{M_SQ}_{M_PJBP}_{L_PJPQ}_{tag}_ck"))
-        build_secs = time.time() - t0
-        log(f"build took {build_secs:.1f}s")
-        index.save(index_path)
-        with open(index_path + ".build.json", "w") as f:
-            json.dump({"build_secs": round(build_secs, 1)}, f)
+    # build time sidecar: cache hits must still report graph_build_secs
+    try:
+        with open(index_path + ".build.json") as f:
+            build_secs = json.load(f)["build_secs"]
+    except (OSError, KeyError, ValueError):
+        pass
 
     log("== graph search sweep (fused int8 engine, seeded) ==")
     from mysteryann_tpu.search.fused import FusedSearcher

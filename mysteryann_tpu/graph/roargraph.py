@@ -382,13 +382,30 @@ def _resolve_engine(cfg, n: int, d: int) -> str:
     return engine
 
 
+def _rounds_for_pass(cfg, pass_i: int) -> int:
+    """Connectivity rounds for phase-D pass ``pass_i`` (0-based).
+
+    Pass 1 runs the full incremental schedule (its rounds bootstrap the
+    sparse post-projection graph); later passes search an already
+    converged graph, where the intra-pass incremental effect is
+    marginal — they default to a quarter of the rounds (min 2), which
+    cuts the per-round fold/pack cost (measured at 1M: recall frontier
+    unchanged within the documented ±1pt round-count noise,
+    BASELINE.md)."""
+    r0 = cfg.connectivity_iters or 16
+    if pass_i == 0:
+        return r0
+    return cfg.connectivity_iters_later or max(2, r0 // 4)
+
+
 def _phase_d_knob_tag(cfg, n: int, d: int) -> str:
     """Phase-D checkpoint tag suffix: every knob that changes phase-D
     outputs (the knobs are fingerprint-neutral so phases A-C survive a
     knob change; see build_roargraph)."""
     engine = _resolve_engine(cfg, n, d)
     t = (f"{engine}_e{cfg.connectivity_expand}"
-         f"i{cfg.connectivity_iters}h{cfg.history_mult}")
+         f"i{cfg.connectivity_iters}j{_rounds_for_pass(cfg, 1)}"
+         f"h{cfg.history_mult}")
     if engine == "fused":
         t += f"b{cfg.connectivity_bits}"
         if cfg.connectivity_seeds:
@@ -553,7 +570,7 @@ def build_roargraph(
                     "connectivity_engine", "connectivity_expand",
                     "connectivity_bits", "connectivity_seeds",
                     "connectivity_seed_sample", "connectivity_iters",
-                    "history_mult"):
+                    "connectivity_iters_later", "history_mult"):
         cfg_fp.pop(neutral, None)
     ckpt = _BuildCheckpoint(checkpoint_dir, fingerprint={
         "cfg": cfg_fp, "n": int(n), "nq": int(nq),
@@ -639,7 +656,8 @@ def build_roargraph(
             supply = ckpt.load(tag)
             if supply is None:
                 supply = _connectivity_pass(base_dev, final, ep, cfg,
-                                            metric, log, ckpt=ckpt, tag=tag)
+                                            metric, log, ckpt=ckpt, tag=tag,
+                                            pass_i=p_i)
                 ckpt.save(tag, supply)
                 ckpt.clean_prefix(f"{tag}_r")  # round files superseded
             # merge novel supply edges into projection (reference
@@ -999,7 +1017,7 @@ def _repack_changed(table, base_dev, supply_dev, ids_np, n, M, d, bits,
 
 
 def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
-                       ckpt=None, tag="phaseD"):
+                       ckpt=None, tag="phaseD", pass_i=0):
     """Phase D: per-node search + prune + reverse supply edges.
 
     The reference runs this incrementally — every node's search sees the
@@ -1027,8 +1045,13 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     L = cfg.L_pjpq
     sb = max(8, min(cfg.search_batch, n))
     eps = jnp.asarray([ep], jnp.int32)
-    prune_batch = max(8, min(cfg.search_batch, 1024))
-    t_search = t_pack = t_prune = t_fold = t_ckpt = 0.0
+    # prune batch bounds the [B, C, C] occlusion tile (C = history H);
+    # 2048 ≈ 1.2 GB f32 at H=384 — affordable at <4M where the fused
+    # table leaves headroom; above that the classic path sits next to a
+    # multi-GB base and keeps the old bound
+    prune_batch = max(8, min(cfg.search_batch,
+                             2048 if n < 4_000_000 else 1024))
+    t_walk = t_pack = t_fold = t_ckpt = 0.0
 
     # Round schedule trades build time for fidelity to the reference's
     # fully incremental pass (each node's search sees all previous
@@ -1040,7 +1063,9 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     # sensitivity), while each extra chunk shape costs a ~20 s compile.
     # At 100k fixed-32 gained +1.5pt (.9440 vs .9285) — raise
     # connectivity_iters on small corpora where build time is cheap.
-    rounds = cfg.connectivity_iters or 16
+    # Passes >= 2 search an already-converged graph: they run
+    # `_rounds_for_pass` rounds (default rounds/4, min 2).
+    rounds = _rounds_for_pass(cfg, pass_i)
     chunks = [-(-n // rounds)] * rounds
     # live supply graph, width 2M (insertion budget) — DEVICE-resident:
     # the per-round fold runs on device (_fold_round_device); only tiny
@@ -1143,6 +1168,7 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
         # device buffer for this chunk's pruned lists (+1 sentinel row for
         # clamped-window writes that fall outside the chunk)
         chunk_dev = jnp.full((chunk + 1, M), n, jnp.int32)
+        _t0 = _time.perf_counter()
         for s in range(r0, r1, sb):
             # clamped full-width window: the tail re-searches a few rows
             # of the previous batch instead of padding (everything stays
@@ -1150,7 +1176,6 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             # expansion history costs ~1 s/batch through the axon tunnel)
             sl = max(0, min(s, n - sb))
             q = jax.lax.dynamic_slice_in_dim(base_dev, sl, sb, 0)
-            _t0 = _time.perf_counter()
             if engine == "fused":
                 seed_ids = seed_d = None
                 if seeds:
@@ -1162,9 +1187,8 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
                                 expand=cfg.connectivity_expand, bits=bits,
                                 seed_ids=seed_ids, seed_d=seed_d)
                 pool = r[4]
-                pool.block_until_ready()
-                if s == r0:  # once per round: history-cap pressure check
-                    hops_r = np.asarray(r[3])
+                if s == r0 == 0:  # once per pass: history-cap pressure
+                    hops_r = np.asarray(r[3])   # (forces one batch sync)
                     log(f"\rround@{r0}: search hops mean "
                         f"{hops_r.mean():.0f} max {hops_r.max()} "
                         f"(H={H})", end="")
@@ -1178,9 +1202,10 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
                                 expand=cfg.connectivity_expand,
                                 visited_mode="pool", collect_expanded=H)
                 pool = r.hist_ids                           # [sb, H] dev
-                pool.block_until_ready()
-            t_search += _time.perf_counter() - _t0
-            _t0 = _time.perf_counter()
+            # NO host sync here: search and prune of consecutive batches
+            # pipeline on device while the host enqueues ahead (the old
+            # per-batch block_until_ready pair cost two ~30 ms tunnel
+            # round trips per batch and serialized every dispatch)
             # prune over the FULL expanded set (reference full_retset,
             # :1318) — includes expanded-then-dropped far nodes, whose
             # long-range edges the occlusion rule keeps for navigability
@@ -1199,8 +1224,8 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             slot = jnp.arange(sl - r0, sl - r0 + sb, dtype=jnp.int32)
             slot = jnp.where((slot >= 0) & (slot < chunk), slot, chunk)
             chunk_dev = chunk_dev.at[slot].set(pruned)
-            chunk_dev.block_until_ready()
-            t_prune += _time.perf_counter() - _t0
+        chunk_dev.block_until_ready()
+        t_walk += _time.perf_counter() - _t0
         if ckpt is not None:
             _t0 = _time.perf_counter()
             ckpt.save(f"{tag}_r{round_i}", np.asarray(chunk_dev[:chunk]))
@@ -1211,14 +1236,14 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             prune_batch)
         supply_dev.block_until_ready()
         t_fold += _time.perf_counter() - _t0
-        log(f"\rround {round_i}: cumulative search {t_search:.0f}s "
-            f"pack {t_pack:.0f}s prune {t_prune:.0f}s fold {t_fold:.0f}s "
+        log(f"\rround {round_i}: cumulative walk {t_walk:.0f}s "
+            f"pack {t_pack:.0f}s fold {t_fold:.0f}s "
             f"ckpt {t_ckpt:.0f}s", end="")
         r0 = r1
     log("")
     del table
-    log(f"phase D split: search {t_search:.1f}s pack {t_pack:.1f}s "
-        f"prune {t_prune:.1f}s fold {t_fold:.1f}s ckpt {t_ckpt:.1f}s")
+    log(f"phase D split: walk (search+prune) {t_walk:.1f}s "
+        f"pack {t_pack:.1f}s fold {t_fold:.1f}s ckpt {t_ckpt:.1f}s")
 
     # overflow re-prune: any row > M goes back through the occlusion prune
     # (reference :1224-1248, no fill)

@@ -341,9 +341,9 @@ def sharded_build_roargraph(
 
     # ---- phase D: connectivity, supply mp-sharded ------------------------
     final = projection
-    for _ in range(max(1, cfg.connectivity_passes)):
+    for p_i in range(max(1, cfg.connectivity_passes)):
         supply = _connectivity_pass_sharded(
-            mesh, base_sh, final, ep, cfg, metric, log)
+            mesh, base_sh, final, ep, cfg, metric, log, pass_i=p_i)
         final = _append_novel(final, supply, cap_add=2 * M, n=n)
         if final.shape[1] > 2 * M:
             final = _cap_degree_sharded(mesh, base_sh, final, 2 * M,
@@ -418,12 +418,14 @@ def _merge_forward_reverse_sharded(mesh, base_sh, own, rev, cap, metric,
 
 
 def _connectivity_pass_sharded(mesh, base_sh, projection, ep, cfg, metric,
-                               log):
+                               log, pass_i=0):
     """Phase D with supply mp-sharded and node batches dp-sharded.
 
     Mirrors `graph.roargraph._connectivity_pass` (classic engine) —
     incremental rounds, arrival-order fold, overflow prune+refill — with
-    every device step swapped for its sharded twin."""
+    every device step swapped for its sharded twin (incl. the
+    pass-dependent round schedule `_rounds_for_pass`, so multi-pass
+    sharded builds stay bit-exact vs single-device)."""
     from mysteryann_tpu.graph.roargraph import _refill_rows_device
 
     n, d = base_sh.shape
@@ -434,7 +436,8 @@ def _connectivity_pass_sharded(mesh, base_sh, projection, ep, cfg, metric,
     sb = -(-sb // dp) * dp
     eps_j = jnp.asarray([ep], jnp.int32)
     H = cfg.history_mult * L
-    rounds = cfg.connectivity_iters or 16
+    from mysteryann_tpu.graph.roargraph import _rounds_for_pass
+    rounds = _rounds_for_pass(cfg, pass_i)
     chunks = [-(-n // rounds)] * rounds
     W = 2 * M
 

@@ -79,6 +79,13 @@ class BuildConfig:
     # same 2*M_pjbp degree bound — a beyond-reference quality knob that
     # costs one extra phase-D of build time.
     connectivity_passes: int = 1
+    # rounds for passes >= 2 (0 = auto: max(2, first-pass rounds / 4)).
+    # Pass 1's incremental rounds bootstrap a sparse post-projection
+    # graph (each chunk's searches see earlier chunks' edges); by pass 2
+    # the graph is converged, so the intra-pass incremental effect is
+    # marginal — fewer rounds buy the same quality for a fraction of the
+    # per-round fold/pack cost (measured at 1M: see BASELINE.md).
+    connectivity_iters_later: int = 0
     # phase-D expansion-history length, as a multiple of L_pjpq. The
     # reference's full_retset is unbounded (every expanded node,
     # src/index_bipartite.cpp:1318); 3x captures nearly all expansions
@@ -100,6 +107,10 @@ class BuildConfig:
             raise ValueError(
                 f"connectivity_expand must be >= 1, got "
                 f"{self.connectivity_expand}")
+        if self.connectivity_iters_later < 0:
+            raise ValueError(
+                f"connectivity_iters_later must be >= 0, got "
+                f"{self.connectivity_iters_later}")
         if self.connectivity_seeds < 0:
             raise ValueError(
                 f"connectivity_seeds must be >= 0, got "
