@@ -545,13 +545,23 @@ def build_roargraph(
     # would let a resume splice phase outputs computed from a DIFFERENT
     # same-shaped corpus into this build (silently wrong adjacency)
     def _digest(a) -> str:
-        # slice BEFORE materializing: np.asarray of the full device-resident
-        # base is a multi-hundred-MB device->host download through the
-        # tunnel (measured ~0.5 GB untimed at 1M); the probe rows are KBs.
-        # Same probe rows + f32 values either way, so digests (and thus
-        # existing checkpoint fingerprints) are unchanged.
-        probe = np.asarray(a[:: max(1, a.shape[0] // 64)][:64])
-        row0 = np.asarray(a[0])
+        # Probe rows only, never the full array: np.asarray of the full
+        # device-resident base is a multi-hundred-MB download through the
+        # tunnel. And for device arrays the row set must be gathered with
+        # ONE jnp.take — the "obvious" strided slice `a[::step][:64]`
+        # measured 154 s on a device-resident 1M base (and ~3x that under
+        # a degraded tunnel: the invisible 493 s "other" of the
+        # 2026-08-20 build split). Sums run in numpy over the downloaded
+        # rows so host- and device-passed arrays produce IDENTICAL
+        # digests (existing checkpoint fingerprints are unchanged).
+        step = max(1, a.shape[0] // 64)
+        idx = np.arange(0, a.shape[0], step, dtype=np.int64)[:64]
+        if isinstance(a, jax.Array):
+            probe = np.asarray(jnp.take(a, jnp.asarray(idx), axis=0))
+            row0 = np.asarray(a[:1])[0]
+        else:
+            probe = np.asarray(a[idx])
+            row0 = np.asarray(a[0])
         return f"{float(np.sum(probe)):.6e}/{float(np.sum(np.abs(row0))):.6e}"
 
     # fingerprint-NEUTRAL knobs: connectivity_passes (pass p's checkpoint
@@ -577,6 +587,8 @@ def build_roargraph(
         "dim": int(base.shape[1]),
         "base": _digest(base), "queries": _digest(train_queries),
         "knn": _digest(learn_base_knn)})
+    log(f"setup (staging + fingerprint): "
+        f"{_time.perf_counter() - t_build0:.1f}s")
 
     with Timer("medoid") as t_med:
         # checkpointed: ~10 min of device time at 10M, pure function of
