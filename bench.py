@@ -71,10 +71,16 @@ REPEATS = 3  # every timed row = median of this many trials
 # the ≥.98 high-recall frontier (the reference driver sweeps 57 L
 # values; VERDICT r2 flagged the 3-row artifact).
 SEED_SAMPLE, SEED_MAX_DEGREE, SEEDS = 2, 48, 40
-SEEDED_L_SWEEP = (40, 44, 48, 56, 64, 80, 112)
+# (expand, seeds, L) rows: expand=4 through the .95 crossing; the
+# high-recall tail drops expand (frees pool lanes inside the 256 tile)
+# and rides to recall ≥ .99 (measured: e3 L=176 → .9910, e2 L=224 →
+# .9938 — probe_frontier_99.py 2026-08-20), answering VERDICT r3 #6
+SEEDED_L_SWEEP = ((4, 40, 40), (4, 40, 44), (4, 40, 48), (4, 40, 56),
+                  (4, 40, 64), (4, 40, 80), (4, 40, 112),
+                  (3, 48, 144), (3, 48, 176), (2, 48, 224))
 # int4 traversal-row frontier (half the DMA bytes/expansion, coarser
 # traversal order; exact f32 rerank either way — search/fused.py)
-INT4_L_SWEEP = (44, 48, 56, 64)
+INT4_L_SWEEP = ((4, 40, 44), (4, 40, 48), (4, 40, 56), (4, 40, 64))
 
 
 def log(*a, **k):
@@ -130,17 +136,33 @@ def _contention_sentinel(base) -> list:
     return sorted(ts)
 
 
-def _bench_median(bench_fn, gt_i, gt_d, k, repeats=REPEATS):
-    """Median-of-`repeats` timing (VERDICT r2: single-trial QPS swung
-    ~40% between adjacent rows). The first trial warms up compile +
-    steady state; qps is the median, qps_min/qps_max the spread."""
-    trials = [bench_fn(warmup=1 if t == 0 else 0) for t in range(repeats)]
+def _bench_median(bench_fn, gt_i, gt_d, k, repeats=REPEATS, ramp=2):
+    """Median-of-`repeats` timing after a `ramp` discard window.
+
+    Protocol (scripts/probe_variance.py, 2026-08-20): a fresh device
+    context ramps over ~3-4 trials (measured 10.6k -> 41k QPS on the
+    fused config) before settling on a plateau; mixing ramp trials into
+    the median was the r3 bench's 2x in-row qps_min/qps_max spread. The
+    first ramp trial also warms compile. qps is the plateau median,
+    qps_min/qps_max the plateau spread."""
+    for t in range(ramp):
+        bench_fn(warmup=1 if t == 0 else 0)
+    trials = [bench_fn(warmup=0) for _ in range(repeats)]
     qpss = sorted(t["qps"] for t in trials)
     row = _finish_row(trials[-1], gt_i, gt_d, k)
     row["qps"] = qpss[len(qpss) // 2]
     row["qps_min"], row["qps_max"] = qpss[0], qpss[-1]
     row["mean_latency_ms"] = trials[-1]["mean_latency_ms"]
     return row
+
+
+def _fresh_mode():
+    """Reset live executables/buffers between serving modes: build-sized
+    allocation churn persistently depresses the fused engine ~35%
+    (probe_variance.py phase B) and jax.clear_caches() restores the
+    plateau (phase C). Costs one re-trace per mode."""
+    import jax
+    jax.clear_caches()
 
 
 def _build_index(base, train_q, knn, index_path, checkpoint_dir):
@@ -242,6 +264,7 @@ def main():
         gt_i, gt_d, K)
     log(f"flat: QPS={flat_row['qps']:.0f} recall={flat_row['recall']:.4f}")
     del flat  # release its device-resident base copy before the next mode
+    _fresh_mode()
 
     # int8 flat (global-scale fused scan + exact f32 rerank; oversample=2
     # beat oversample=4 — the rerank gather is descriptor-bound, so
@@ -254,6 +277,7 @@ def main():
     log(f"flat int8: QPS={flat8_row['qps']:.0f} "
         f"recall={flat8_row['recall']:.4f}")
     del flat8
+    _fresh_mode()
 
     # ---- RoarGraph engine (parity evidence + large-N regime) --------------
     index = RoarGraphIndex.load(index_path)
@@ -268,27 +292,30 @@ def main():
     log("== graph search sweep (fused int8 engine, seeded) ==")
     from mysteryann_tpu.search.fused import FusedSearcher
 
-    def graph_sweep(bits, Ls):
+    def graph_sweep(bits, rows_spec):
         fused = FusedSearcher(index, base, max_degree=SEED_MAX_DEGREE,
                               seed_sample=SEED_SAMPLE, bits=bits)
         rows = []
-        for L in Ls:
-            # expand=4: per-step pool-maintenance costs amortize over 4
-            # expansions; seeds from the dense 1-in-2 sample scan (entry
-            # points inside the target neighborhood — the scan replaces
-            # the medoid walk, the graph does the precision work)
+        for expand, seeds, L in rows_spec:
+            # expand>1: per-step pool-maintenance costs amortize over
+            # `expand` expansions; seeds from the dense 1-in-2 sample
+            # scan (entry points inside the target neighborhood — the
+            # scan replaces the medoid walk, the graph does the
+            # precision work)
             r = _bench_median(
                 lambda warmup: fused.benchmark(
-                    eval_q, k=K, L=L, query_batch=8192, expand=4,
-                    seeds=min(SEEDS, L),  # search() rejects seeds>L
+                    eval_q, k=K, L=L, query_batch=8192, expand=expand,
+                    seeds=min(seeds, L),  # search() rejects seeds>L
                     warmup=warmup),
                 gt_i, gt_d, K)
+            r["expand"], r["seeds"] = expand, seeds
             rows.append(r)
-            log(f"bits={bits} L={L}: QPS={r['qps']:.0f} "
+            log(f"bits={bits} e={expand} L={L}: QPS={r['qps']:.0f} "
                 f"[{r['qps_min']:.0f},{r['qps_max']:.0f}] "
                 f"recall={r['recall']:.4f} cmps={r['avg_cmps']:.0f} "
                 f"hops={r['avg_hops']:.0f}")
         del fused
+        _fresh_mode()
         return rows
 
     graph_rows = graph_sweep(8, SEEDED_L_SWEEP)
