@@ -188,7 +188,12 @@ def _build_index(base, train_q, knn, index_path, checkpoint_dir):
     # the chip's working memory
     from mysteryann_tpu.ops.distances import prepare_vectors
     base_staged = prepare_vectors(base, METRIC)
-    base_staged.block_until_ready()
+    # fence, not block_until_ready: the tunnel under-blocks uploads (a
+    # "staged" 512MB base measured 411s of deferred transfer draining
+    # INSIDE the timed region, 2026-08-20) — only a readback proves the
+    # data is resident before the clock starts
+    from mysteryann_tpu.utils.fence import fence
+    fence(base_staged)
     t0 = time.time()
     index = build_roargraph(base_staged, train_q, knn, cfg, verbose=True,
                             checkpoint_dir=checkpoint_dir)

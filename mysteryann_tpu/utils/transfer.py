@@ -1,12 +1,18 @@
 """Chunked host→device transfer.
 
-Measured through the axon tunnel (2026-08-19): a 512 MB `jnp.asarray`
-lands at ~1.3 GB/s, but multi-GB arrays collapse to ~11-25 MB/s — the
-5.1 GB base upload alone cost 450 s of a 10M build, and the 3.8 GB
-reverse-candidate tensor another ~215 s. Splitting the transfer into
-sub-GB chunks and folding them into a donated device buffer
-(`dynamic_update_slice`, the pack_neighbor_table pattern) keeps every
-piece on the fast path.
+CORRECTED MEASUREMENT (2026-08-20): every upload path through the axon
+tunnel — `jnp.asarray`, chunked fills, `jax.device_put` — UNDER-BLOCKS:
+`block_until_ready` returns while the real transfer keeps draining in
+the background at the tunnel's true ~8-17 MB/s, and the next
+device→host readback stalls behind it (a 32 KB probe download measured
+108-230 s right after "0.6 s" uploads). The 2026-08-19 note here that
+sub-GB chunks ride a ~1.3 GB/s "fast path" was an artifact of that
+under-blocking — chunking does NOT change the aggregate rate. What
+chunking still buys: bounded host-side copy/pinning per piece and a
+buffer that can be donated into. For TIMING honesty, fence the staged
+array (`utils.fence.fence` — a readback is the only true completion
+barrier) before starting any clock; on production PCIe hosts none of
+this applies.
 """
 
 from __future__ import annotations

@@ -50,8 +50,12 @@ def cached(name, fn):
 
 
 def med3(bench_fn):
-    """Median-of-3 trial timing (row convention shared with bench.py)."""
-    trials = [bench_fn(warmup=1 if t == 0 else 0) for t in range(3)]
+    """Plateau median-of-3 after a 2-trial ramp discard (row convention
+    shared with bench.py; ramp rationale: BASELINE.md variance root
+    cause, probe_variance.py 2026-08-20)."""
+    for t in range(2):
+        bench_fn(warmup=1 if t == 0 else 0)
+    trials = [bench_fn(warmup=0) for _ in range(3)]
     qpss = sorted(t["qps"] for t in trials)
     r = trials[-1]
     r["qps"], r["qps_min"], r["qps_max"] = qpss[1], qpss[0], qpss[2]

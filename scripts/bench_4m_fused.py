@@ -100,7 +100,8 @@ def main():
                           connectivity_expand=4)
         from mysteryann_tpu.ops.distances import prepare_vectors
         base_staged = prepare_vectors(base, "ip")
-        base_staged.block_until_ready()
+        from mysteryann_tpu.utils.fence import fence
+        fence(base_staged)  # true completion barrier (uploads under-block)
         t0 = time.time()
         index = build_roargraph(
             base_staged, train_q, knn, cfg, verbose=True,
@@ -119,9 +120,15 @@ def main():
         fused = FusedSearcher(index, base, max_degree=args.max_degree,
                               seed_sample=args.seed_sample, bits=4)
         for L in (int(x) for x in args.Ls.split(",")):
+            # ramp-discard protocol (BASELINE.md variance root cause):
+            # 2 warm-up trials discarded, median over the next 3
+            for t in range(2):
+                fused.benchmark(eval_q, k=K, L=L, query_batch=8192,
+                                expand=4, seeds=min(args.seeds, L),
+                                warmup=1 if t == 0 else 0)
             trials = [fused.benchmark(eval_q, k=K, L=L, query_batch=8192,
                                       expand=4, seeds=min(args.seeds, L),
-                                      warmup=1 if t == 0 else 0)
+                                      warmup=0)
                       for t in range(3)]
             qpss = sorted(t["qps"] for t in trials)
             r = trials[-1]

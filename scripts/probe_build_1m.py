@@ -102,7 +102,8 @@ def main():
         # before BuildRoarGraph
         from mysteryann_tpu.ops.distances import prepare_vectors
         base_staged = prepare_vectors(base, "ip")
-        base_staged.block_until_ready()
+        from mysteryann_tpu.utils.fence import fence
+        fence(base_staged)  # true completion barrier (uploads under-block)
         t0 = time.time()
         index = build_roargraph(
             base_staged, train_q, knn, cfg, verbose=True,
