@@ -304,6 +304,29 @@ def _aggregate_reverse(
     return out
 
 
+@partial(jax.jit, static_argnames=("n", "r_max"))
+def _aggregate_reverse_device(e_src, e_dst, e_dist, n: int, r_max: int):
+    """Device twin of `_aggregate_reverse`: same (dst, dist)-stable
+    grouping (lax.sort is stable like np.lexsort), scatter into a
+    sentinel-padded [n, r_max]. Keeps the 1M-scale BC phase off the
+    tunnel — the host path's [n, 3M] reverse tensor upload alone rode
+    the ~8-17 MB/s link for ~30 s."""
+    E = e_src.shape[0]
+    ds, _, ss = jax.lax.sort(
+        (e_dst.astype(jnp.int32), e_dist, e_src.astype(jnp.int32)),
+        dimension=-1, num_keys=2)
+    arrival = jnp.arange(E, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), ds[1:] != ds[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, arrival, 0))
+    rank = arrival - seg_start
+    keep = (ds < n) & (rank < r_max)
+    rev = jnp.full((n + 1, r_max), n, jnp.int32)
+    rev = rev.at[jnp.where(keep, ds, n), jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, ss, n), mode="drop")[:n]
+    return rev
+
+
 def _batched_prune_rows(
     base_dev: jax.Array,
     node_ids: np.ndarray,        # [K] rows to prune
@@ -465,27 +488,38 @@ def _merge_forward_reverse(
     n, A = own.shape
     R = rev.shape[1]
     thresh = cap if prune_threshold is None else prune_threshold
+    on_dev = isinstance(own, jax.Array)
     from mysteryann_tpu.utils.transfer import to_device_chunked
     own_dev = to_device_chunked(own, jnp.int32)
     rev_dev = to_device_chunked(rev, jnp.int32)   # 3.8 GB at 10M
     # block size bounds the [bs, R, A] device broadcast (~0.5 GB bool)
     bs = max(1024, min(n, (1 << 29) // max(1, R * A)))
-    merged = np.empty((n, cap), np.int32)
-    total = np.empty(n, np.int32)
+    merged = None if on_dev else np.empty((n, cap), np.int32)
+    m_blks, t_blks = [], []
+    total = None if on_dev else np.empty(n, np.int32)
     for s in range(0, n, bs):
         st = min(s, max(0, n - bs))  # clamped window (one compiled shape)
         m_b, t_b = _merge_fr_block(
             jax.lax.dynamic_slice_in_dim(own_dev, st, min(bs, n), 0),
             jax.lax.dynamic_slice_in_dim(rev_dev, st, min(bs, n), 0),
             n=n, cap=cap)
-        merged[st: st + bs] = np.asarray(m_b)
-        total[st: st + bs] = np.asarray(t_b)
-
-    hard = np.nonzero(total > thresh)[0]
+        if on_dev:
+            m_blks.append(m_b[s - st:])
+            t_blks.append(t_b[s - st:])
+        else:
+            merged[st: st + bs] = np.asarray(m_b)
+            total[st: st + bs] = np.asarray(t_b)
+    if on_dev:
+        merged = m_blks[0] if len(m_blks) == 1 else jnp.concatenate(m_blks)
+        total = t_blks[0] if len(t_blks) == 1 else jnp.concatenate(t_blks)
+        hard = np.nonzero(np.asarray(total > thresh))[0]  # [n] bool only
+    else:
+        hard = np.nonzero(total > thresh)[0]
     if hard.size:
         # overfull rows: occlusion-prune over the FULL dedup'd candidate
         # list (own-then-reverse), reconstructed on device per block
-        out_rows = np.empty((hard.size, cap), np.int32)
+        out_rows = (None if on_dev
+                    else np.empty((hard.size, cap), np.int32))
         OB = 1 << 15
         for s in range(0, hard.size, OB):
             blk = hard[s: s + OB]
@@ -495,10 +529,16 @@ def _merge_forward_reverse(
             dup = (rev_r[:, :, None] == own_r[:, None, :]).any(axis=2)
             cand_b = jnp.concatenate(
                 [own_r, jnp.where(dup, n, rev_r)], axis=1)
-            out_rows[s: s + blk.size] = _batched_prune_rows(
+            pruned_b = _batched_prune_rows(
                 base_dev, jnp.asarray(blk.astype(np.int32)), cand_b, cap,
-                metric, batch, fill)
-        merged[hard] = out_rows
+                metric, batch, fill, return_device=on_dev)
+            if on_dev:
+                merged = merged.at[jnp.asarray(
+                    blk.astype(np.int32))].set(pruned_b[: blk.size])
+            else:
+                out_rows[s: s + blk.size] = pruned_b
+        if not on_dev:
+            merged[hard] = out_rows
     return merged
 
 
@@ -631,6 +671,7 @@ def build_roargraph(
     # ---- Phase B+C: reverse edges + degree repair ---------------------------
     with Timer("phaseBC") as t_bc:
         projection = ckpt.load("phaseBC")
+        proj_np = projection
         if projection is None:
             pv = pruned_all < n
             e_src = np.repeat(tgt_all, M)[pv.ravel()]           # u = target
@@ -639,20 +680,40 @@ def build_roargraph(
             key = e_dst * np.int64(n) + e_src
             _, uniq = np.unique(key, return_index=True)
             e_src, e_dst = e_src[uniq], e_dst[uniq]
-            # edge distances for closest-first reverse capping
-            e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
-            rev = _aggregate_reverse(e_src, e_dst, e_dist, n, r_max=3 * M)
+            on_dev = n < 4_000_000
+            if on_dev:
+                # DEVICE path: reverse aggregation + forward scatter on
+                # chip — the host path's [n, 3M] rev upload + [n, M]
+                # forward upload rode the tunnel for ~40 s at 1M
+                e_dist = _edge_dists(base_dev, e_src, e_dst, metric,
+                                     return_device=True)
+                rev = _aggregate_reverse_device(
+                    jnp.asarray(e_src.astype(np.int32)),
+                    jnp.asarray(e_dst.astype(np.int32)),
+                    e_dist, n=n, r_max=3 * M)
+                fwd = jnp.full((n, M), n, jnp.int32).at[
+                    jnp.asarray(winners_tgt.astype(np.int32))].set(
+                    jnp.asarray(pruned_all[first_idx]))
+            else:
+                # edge distances for closest-first reverse capping
+                e_dist = _edge_dists(base_dev, e_src, e_dst, metric)
+                rev = _aggregate_reverse(e_src, e_dst, e_dist, n,
+                                         r_max=3 * M)
+                fwd = forward
             # host-visible split: the [chunk, R, A] novelty masks inside
             # _merge_forward_reverse run on one host core (VERDICT r2
             # flagged their 10M cost as profile-invisible)
             _t0 = _time.perf_counter()
             projection = _merge_forward_reverse(
-                base_dev, forward, rev, cap=M, metric=metric,
+                base_dev, fwd, rev, cap=M, metric=metric,
                 batch=cfg.query_batch, fill=True)
-            log(f"phase B/C host merge: {_time.perf_counter() - _t0:.1f}s")
-            ckpt.save("phaseBC", projection)
+            log(f"phase B/C merge: {_time.perf_counter() - _t0:.1f}s")
+            # one download serves both the checkpoint and degree stats;
+            # phase D keeps the device-resident copy
+            proj_np = np.asarray(projection)
+            ckpt.save("phaseBC", proj_np)
         del forward, pruned_all
-    pg = PaddedGraph(neighbors=projection, ep=ep)
+    pg = PaddedGraph(neighbors=proj_np, ep=ep)
     st = pg.degree_stats()
     log(f"phase B/C: degree avg {st['avg']:.1f} max {st['max']} "
         f"zero {st['zero']} ({t_bc.elapsed:.2f}s)")
@@ -670,19 +731,24 @@ def build_roargraph(
                 supply = _connectivity_pass(base_dev, final, ep, cfg,
                                             metric, log, ckpt=ckpt, tag=tag,
                                             pass_i=p_i)
-                ckpt.save(tag, supply)
+                ckpt.save(tag, np.asarray(supply))
                 ckpt.clean_prefix(f"{tag}_r")  # round files superseded
             # merge novel supply edges into projection (reference
             # :1251-1269); later passes (beyond-reference) search the
-            # completed graph and stay under the same 2M degree bound
+            # completed graph and stay under the same 2M degree bound.
+            # Below 4M everything stays DEVICE-resident across passes —
+            # the former per-pass download/upload churn of the [N, 2-3M]
+            # adjacency rode the ~8-17 MB/s tunnel for ~125 s of a 1M
+            # build ("host merge+cap" splits, 2026-08-20)
             _t0 = _time.perf_counter()
             final = _append_novel(final, supply, cap_add=2 * M, n=n)
             if final.shape[1] > 2 * M:
                 final = _cap_degree(final, base_dev, 2 * M, metric,
                                     cfg.query_batch, n)
-            log(f"phase D pass {p_i + 1} host merge+cap: "
+            log(f"phase D pass {p_i + 1} merge+cap: "
                 f"{_time.perf_counter() - _t0:.1f}s")
         # phase E: reachability repair (reference's dead CollectPoints)
+        final = np.asarray(final)  # one download; host BFS
         final = _ensure_reachability(final, ep, base_dev, metric, log)
     g = PaddedGraph(neighbors=final, ep=ep)
     st = g.degree_stats()
@@ -710,9 +776,11 @@ def build_roargraph(
     return RoarGraphIndex(graph=g, metric=metric, dim=base.shape[1])
 
 
-def _edge_dists(base_dev, e_src, e_dst, metric, chunk: int = 1 << 20):
+def _edge_dists(base_dev, e_src, e_dst, metric, chunk: int = 1 << 20,
+                return_device: bool = False):
     """Distances for an edge list, chunked through the device."""
-    out = np.empty(e_src.size, np.float32)
+    out = None if return_device else np.empty(e_src.size, np.float32)
+    parts = []
     for s in range(0, e_src.size, chunk):
         e = min(s + chunk, e_src.size)
         a = gather_rows_any(base_dev, jnp.asarray(e_src[s:e], jnp.int32))
@@ -722,7 +790,12 @@ def _edge_dists(base_dev, e_src, e_dst, metric, chunk: int = 1 << 20):
             d = -ip
         else:
             d = jnp.sum((a - b) ** 2, axis=-1)
-        out[s:e] = np.asarray(d)
+        if return_device:
+            parts.append(d)
+        else:
+            out[s:e] = np.asarray(d)
+    if return_device:
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     return out
 
 
@@ -1083,11 +1156,20 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     # the per-round fold runs on device (_fold_round_device); only tiny
     # fit-masks and overflow indices touch the host
     W = 2 * M
-    supply0 = np.full((n, W), n, np.int32)
-    supply0[:, : projection.shape[1]] = projection[:, : W]
-    from mysteryann_tpu.utils.transfer import to_device_chunked
-    supply_dev = to_device_chunked(supply0)   # 2.56 GB at 10M
-    del supply0
+    if isinstance(projection, jax.Array):
+        # device-resident pass input (multi-pass, n < 4M): widen/trim on
+        # device — a host round trip here is pure tunnel time
+        pw = projection.shape[1]
+        supply_dev = (projection[:, :W] if pw >= W else jnp.concatenate(
+            [projection.astype(jnp.int32),
+             jnp.full((n, W - pw), n, jnp.int32)], axis=1))
+        supply_dev = supply_dev.astype(jnp.int32)
+    else:
+        supply0 = np.full((n, W), n, np.int32)
+        supply0[:, : projection.shape[1]] = projection[:, : W]
+        from mysteryann_tpu.utils.transfer import to_device_chunked
+        supply_dev = to_device_chunked(supply0)   # 2.56 GB at 10M
+        del supply0
 
     engine = _resolve_engine(cfg, n, d)
     bits = cfg.connectivity_bits
@@ -1312,6 +1394,12 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
             scat[: blk.size] = blk
             final_dev = final_dev.at[jnp.asarray(scat)].set(
                 pruned, mode="drop")
+    # below 4M the result stays device-resident (the caller's per-pass
+    # append/cap runs on device; a [N, M] download is ~10 s of tunnel
+    # at 1M); at >=4M memory discipline wants it off-chip
+    if n < 4_000_000:
+        final_dev.block_until_ready()
+        return final_dev
     return np.asarray(final_dev)
 
 
@@ -1336,6 +1424,8 @@ def _ensure_reachability(final: np.ndarray, ep: int, base_dev, metric,
     """
     from mysteryann_tpu.ops.knn import exact_knn_device
 
+    if not final.flags.writeable:  # np.asarray of a device array is a
+        final = final.copy()       # read-only view; the repair mutates
     n, width = final.shape
     for it in range(8):
         # BFS from ep (vectorized frontier waves)
@@ -1407,12 +1497,31 @@ def _membership(pool: np.ndarray, rows: np.ndarray, n: int) -> np.ndarray:
     return (pool[:, :, None] == rows[:, None, :]).any(axis=2) & (pool < n)
 
 
-def _cap_degree(rows: np.ndarray, base_dev, cap: int, metric, batch: int,
-                n: int) -> np.ndarray:
+def _cap_degree(rows, base_dev, cap: int, metric, batch: int, n: int):
     """Bound every row to ``cap`` edges: rows over the cap go through the
     occlusion prune (fill pass keeps them full); rows within it are
     copied (they are left-compacted, so truncating the width is lossless).
-    Used by multi-pass phase D to hold the reference's 2*M degree bound."""
+    Used by multi-pass phase D to hold the reference's 2*M degree bound.
+    Type-preserving like `_append_novel` (device in → device out; only
+    the tiny overfull-row id set touches the host)."""
+    if isinstance(rows, jax.Array):
+        deg = jnp.sum(rows < n, axis=1, dtype=jnp.int32)
+        over = np.nonzero(np.asarray(deg > cap))[0]          # ids only
+        out = rows[:, :cap]
+        if over.size:
+            OB = 1 << 15
+            for s in range(0, int(over.size), OB):
+                blk = over[s: s + OB]
+                ids = np.full(OB, n, np.int32)   # pad rows dropped below
+                ids[: blk.size] = blk
+                ids_c = jnp.asarray(np.minimum(ids, n - 1))  # gather-safe
+                cand = gather_rows_any(rows, ids_c)
+                pruned = _batched_prune_rows(
+                    base_dev, ids_c, cand, cap, metric, batch,
+                    fill=True, return_device=True)
+                # pad rows (id n) scatter out of bounds -> dropped
+                out = out.at[jnp.asarray(ids)].set(pruned, mode="drop")
+        return out
     deg = (rows < n).sum(axis=1)
     out = np.full((rows.shape[0], cap), n, np.int32)
     ok = deg <= cap
@@ -1447,26 +1556,34 @@ def _append_novel_block(proj_b: jax.Array, sup_b: jax.Array, n: int,
     return jnp.where(k_s < 2 * C, v_s, jnp.int32(n))
 
 
-def _append_novel(projection: np.ndarray, supply: np.ndarray, cap_add: int,
-                  n: int) -> np.ndarray:
+def _append_novel(projection, supply, cap_add: int, n: int):
     """Append up to cap_add supply edges not already in projection.
 
     Projection rows are left-compacted, so the stable key sort appends
     each row's novel entries right after its own degree — identical
     output to the former host argsort path (oracle-pinned in
-    tests/test_roargraph_build.py), blocked on device."""
+    tests/test_roargraph_build.py), blocked on device. Type-preserving:
+    a device ``projection`` yields a device result (no tunnel round
+    trip between phase-D passes); host in → host out."""
     N, M = projection.shape
     w_add = min(cap_add, supply.shape[1])
+    on_dev = isinstance(projection, jax.Array)
     from mysteryann_tpu.utils.transfer import to_device_chunked
     proj_dev = to_device_chunked(projection, jnp.int32)
     sup_dev = to_device_chunked(supply, jnp.int32)
     bs = max(1024, min(N, (1 << 29) // max(1, supply.shape[1] * M)))
-    out = np.empty((N, M + w_add), np.int32)
+    out = None if on_dev else np.empty((N, M + w_add), np.int32)
+    blks = []
     for s in range(0, N, bs):
         st = min(s, max(0, N - bs))
         blk = _append_novel_block(
             jax.lax.dynamic_slice_in_dim(proj_dev, st, min(bs, N), 0),
             jax.lax.dynamic_slice_in_dim(sup_dev, st, min(bs, N), 0),
             n=n, w_add=w_add)
-        out[st: st + bs] = np.asarray(blk)
+        if on_dev:
+            blks.append(blk[s - st:])
+        else:
+            out[st: st + bs] = np.asarray(blk)
+    if on_dev:
+        return blks[0] if len(blks) == 1 else jnp.concatenate(blks)
     return out

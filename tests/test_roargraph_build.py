@@ -208,3 +208,59 @@ def test_append_novel_matches_host_oracle():
     order = np.argsort(cand == n, axis=1, kind="stable")
     want = np.take_along_axis(cand, order, axis=1).astype(np.int32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_device_resident_bc_and_cap_match_host_paths():
+    """The device-resident BC/merge/cap pipeline (n<4M fast path) must be
+    bit-identical to the host path it replaced: reverse aggregation,
+    forward∪reverse merge with device inputs, and degree capping."""
+    import jax.numpy as jnp
+    from mysteryann_tpu.graph.roargraph import (
+        _aggregate_reverse, _aggregate_reverse_device, _cap_degree,
+        _merge_forward_reverse)
+    from mysteryann_tpu.ops.distances import Metric, prepare_vectors
+
+    rng = np.random.default_rng(11)
+    n = 600
+    base = rng.standard_normal((n, 16)).astype(np.float32)
+    base_dev = prepare_vectors(base, Metric.IP)
+
+    # reverse aggregation: duplicate dists exercise tie stability
+    E = 5000
+    e_dst = np.sort(rng.integers(0, n, E))
+    e_src = rng.integers(0, n, E)
+    e_dist = rng.integers(0, 50, E).astype(np.float32)  # many exact ties
+    r_max = 6
+    want = _aggregate_reverse(e_src.astype(np.int64), e_dst.astype(np.int64),
+                              e_dist, n, r_max)
+    got = np.asarray(_aggregate_reverse_device(
+        jnp.asarray(e_src.astype(np.int32)),
+        jnp.asarray(e_dst.astype(np.int32)),
+        jnp.asarray(e_dist), n=n, r_max=r_max))
+    np.testing.assert_array_equal(got, want)
+
+    # merge with device inputs == merge with host inputs
+    A, R, cap = 8, 24, 8
+    own = np.full((n, A), n, np.int32)
+    rev = np.full((n, R), n, np.int32)
+    for i in range(n):
+        d = rng.integers(0, A + 1)
+        own[i, :d] = rng.choice(n, size=d, replace=False)
+        rd = rng.integers(0, R + 1)
+        rev[i, :rd] = rng.choice(n, size=rd, replace=False)
+    host = _merge_forward_reverse(base_dev, own, rev, cap=cap,
+                                  metric=Metric.IP, batch=128, fill=True)
+    dev = _merge_forward_reverse(base_dev, jnp.asarray(own),
+                                 jnp.asarray(rev), cap=cap,
+                                 metric=Metric.IP, batch=128, fill=True)
+    assert not isinstance(host, jnp.ndarray) or hasattr(host, "device")
+    np.testing.assert_array_equal(np.asarray(dev), host)
+
+    # cap_degree with device input == host input
+    wide = np.full((n, 3 * cap), n, np.int32)
+    for i in range(n):
+        d = rng.integers(0, 3 * cap + 1)
+        wide[i, :d] = rng.choice(n, size=d, replace=False)
+    host_c = _cap_degree(wide, base_dev, cap, Metric.IP, 128, n)
+    dev_c = _cap_degree(jnp.asarray(wide), base_dev, cap, Metric.IP, 128, n)
+    np.testing.assert_array_equal(np.asarray(dev_c), host_c)
