@@ -1158,9 +1158,14 @@ def _connectivity_pass(base_dev, projection, ep, cfg, metric, log,
     W = 2 * M
     if isinstance(projection, jax.Array):
         # device-resident pass input (multi-pass, n < 4M): widen/trim on
-        # device — a host round trip here is pure tunnel time
+        # device — a host round trip here is pure tunnel time. jnp.copy
+        # on the trim path: a full-extent slice ALIASES the caller's
+        # buffer, and the round fold donates supply_dev — donating an
+        # alias kills the caller's projection (caught by
+        # dryrun_multichip: "Buffer has been deleted or donated")
         pw = projection.shape[1]
-        supply_dev = (projection[:, :W] if pw >= W else jnp.concatenate(
+        supply_dev = (jnp.copy(projection[:, :W]) if pw >= W
+                      else jnp.concatenate(
             [projection.astype(jnp.int32),
              jnp.full((n, W - pw), n, jnp.int32)], axis=1))
         supply_dev = supply_dev.astype(jnp.int32)
