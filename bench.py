@@ -145,13 +145,18 @@ def _bench_median(bench_fn, gt_i, gt_d, k, repeats=REPEATS, ramp=2):
     the median was the r3 bench's 2x in-row qps_min/qps_max spread. The
     first ramp trial also warms compile. qps is the plateau median,
     qps_min/qps_max the plateau spread."""
-    for t in range(ramp):
-        bench_fn(warmup=1 if t == 0 else 0)
+    ramp_qps = [round(bench_fn(warmup=1 if t == 0 else 0)["qps"], 1)
+                for t in range(ramp)]
     trials = [bench_fn(warmup=0) for _ in range(repeats)]
     qpss = sorted(t["qps"] for t in trials)
     row = _finish_row(trials[-1], gt_i, gt_d, k)
     row["qps"] = qpss[len(qpss) // 2]
     row["qps_min"], row["qps_max"] = qpss[0], qpss[-1]
+    # ramp trials are NOT medianed but recorded: on this time-sliced rig
+    # the first trial after compile often lands a high-share window
+    # (flat tile=n measured 303k there vs a 70k sustained plateau,
+    # 2026-08-20) — evidence of engine capability under a clean chip
+    row["qps_ramp"] = ramp_qps
     row["mean_latency_ms"] = trials[-1]["mean_latency_ms"]
     return row
 
