@@ -4,12 +4,13 @@ The reference's flagship regime is T2I-10M graph build + search
 (reference run_roargraph_test.sh:5-10, run_roargraph_search_test.sh).
 This script produces the equivalent rows on the synthetic 10M corpus:
 
-1. data: regenerate the cached 10M base (seed 17) together with a
-   1M-query train set and 32k eval set drawn from the SAME synthetic
-   manifold — the reference's premise (train queries predict the eval
-   query distribution; prepare_data.sh samples both from the real query
-   pool). The RNG consumes base draws before query draws, so the base
-   is bit-identical to the cached `t2i10m_v2` artifact.
+1. data: generate (or reuse cached) the 10M v3-difficulty base (seed
+   17) together with a 1M-query train set and 32k eval set drawn from
+   the SAME synthetic manifold — the reference's premise (train
+   queries predict the eval query distribution; prepare_data.sh
+   samples both from the real query pool). The RNG consumes base
+   draws before query draws, so re-generation is bit-stable against
+   the cached artifact (asserted on first 1000 rows).
 2. exact train kNN (the input the reference outsources to DiskANN):
    ~1 minute of MXU time at 1M x 10M x 128d.
 3. build: M_sq=64, M_pjbp=32, L_pjpq=128 (the 1M bench family, scaled);
