@@ -35,6 +35,17 @@ from jax.experimental.pallas import tpu as pltpu
 _MAX_PREFETCH_ROWS = 65536
 
 
+def _clamp_block(block: int, row_bytes: int, n_rows: int) -> int:
+    """Largest DMA block whose VMEM output stays under the 16 MB scoped
+    budget (~14 MB usable). A call that still needs more than one grid
+    step after the single-buffer clamp gets the pipeline's double-buffered
+    output block, so its budget is half."""
+    single = max(1, min(block, (14 << 20) // max(1, row_bytes)))
+    if n_rows <= single:
+        return single  # one grid step: no output double-buffering
+    return max(1, min(single, (7 << 20) // max(1, row_bytes)))
+
+
 def _gather_kernel(idx_ref, table_ref, out_ref, sems):
     """One grid step gathers BLK rows: start BLK DMAs, wait for all."""
     blk = out_ref.shape[0]
@@ -96,11 +107,14 @@ def gather_rows(table: jax.Array, idx: jax.Array,
         # (sflag, 2 KB) holds at most ~500 — 512 semaphores overflow it
         raise ValueError("block must be <= 256 (sflag capacity)")
     # the [block, *row] output block is a scoped VMEM allocation (16 MB
-    # limit): clamp `block` for fat rows so it stays under budget. E.g.
-    # IVF f32 cluster blocks at 10M are 1.5 MB rows — block=16 would
-    # allocate 23 MB and fail to compile (observed); 9 rows fit.
+    # limit): clamp `block` for fat rows so it stays under budget — and
+    # halve the budget again when the call needs more than one grid step,
+    # because the pipeline then DOUBLE-BUFFERS the output block (measured:
+    # 10M-IVF f32 blocks, 1.5 MB rows — block=9 at grid=1 fits at 13.5 MB,
+    # the same block=9 at grid=2 allocates f32[18,cap,d] = 27 MB and fails
+    # compile; block=16 fails even single-buffered at 24 MB).
     row_bytes = int(np.prod(table.shape[1:])) * table.dtype.itemsize
-    block = max(1, min(block, (14 << 20) // max(1, row_bytes)))
+    block = _clamp_block(block, row_bytes, int(idx.shape[0]))
     if jax.devices()[0].platform != "tpu" and not interpret:
         return jnp.take(table, idx, axis=0)
 

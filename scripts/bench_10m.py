@@ -99,6 +99,9 @@ def main():
     gt_i = gt_i.astype(np.int64)
 
     rows = []
+    only_ivf = "--only-ivf" in sys.argv  # re-run the IVF rows alone
+    if only_ivf:
+        return _ivf_rows(base, eval_q, gt_i, rows)
 
     log("== flat f32 ==")
     flat = FlatIndex(base, metric="ip")
@@ -156,6 +159,13 @@ def main():
             log(rows[-1])
         del s, index
         break
+
+    _ivf_rows(base, eval_q, gt_i, rows)
+
+
+def _ivf_rows(base, eval_q, gt_i, rows):
+    from mysteryann_tpu.ivf import IVFIndex
+    from mysteryann_tpu.utils.metrics import compute_recall
 
     log("== IVF (4096 clusters) ==")
     t0 = time.time()

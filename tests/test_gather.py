@@ -46,6 +46,23 @@ def test_gather_fat_rows_clamps_block():
     np.testing.assert_array_equal(got, np.asarray(table)[np.asarray(idx)])
 
 
+def test_clamp_block_budgets():
+    # single grid step: block*row_bytes must fit the 14 MB single-buffer
+    # budget; multi-step calls get the pipeline's DOUBLE-buffered output
+    # block, so their budget is 7 MB (observed on-device: 1.5 MB rows at
+    # block=9/grid=2 allocate f32[18,cap,d] = 27 MB and fail compile,
+    # while the same block=9 at grid=1 fits).
+    from mysteryann_tpu.ops.gather import _clamp_block
+    mb15 = 2944 * 128 * 4                    # 1.5 MB IVF f32 row
+    assert _clamp_block(32, mb15, 9) == 9    # fits one step: keep 9
+    assert _clamp_block(32, mb15, 18) == 4   # 2+ steps: halved budget
+    assert _clamp_block(256, 128 * 4, 65536) == 256  # thin rows: cap only
+    assert _clamp_block(64, 1 << 30, 2) == 1  # monster row: floor at 1
+    # boundary: n_rows fits one single-buffered step -> keep the full
+    # clamped block (padding rounds 13 rows up to one 14-row grid step)
+    assert _clamp_block(16, 1 << 20, 13) == 14
+
+
 def test_gather_rejects_1d():
     with pytest.raises(ValueError):
         gather_rows(jnp.zeros((10,)), jnp.zeros((3,), jnp.int32))
