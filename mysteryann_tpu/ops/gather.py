@@ -39,11 +39,14 @@ def _clamp_block(block: int, row_bytes: int, n_rows: int) -> int:
     """Largest DMA block whose VMEM output stays under the 16 MB scoped
     budget (~14 MB usable). A call that still needs more than one grid
     step after the single-buffer clamp gets the pipeline's double-buffered
-    output block, so its budget is half."""
+    output block, so its budget is half. Returns 0 when no block fits —
+    rows in (7 MB, 14 MB] with a multi-step grid would double-buffer past
+    the budget and die in an opaque Mosaic/VMEM error; the caller falls
+    back to jnp.take instead."""
     single = max(1, min(block, (14 << 20) // max(1, row_bytes)))
     if n_rows <= single:
         return single  # one grid step: no output double-buffering
-    return max(1, min(single, (7 << 20) // max(1, row_bytes)))
+    return min(single, (7 << 20) // max(1, row_bytes))
 
 
 def _gather_kernel(idx_ref, table_ref, out_ref, sems):
@@ -112,10 +115,11 @@ def gather_rows(table: jax.Array, idx: jax.Array,
     # because the pipeline then DOUBLE-BUFFERS the output block (measured:
     # 10M-IVF f32 blocks, 1.5 MB rows — block=9 at grid=1 fits at 13.5 MB,
     # the same block=9 at grid=2 allocates f32[18,cap,d] = 27 MB and fails
-    # compile; block=16 fails even single-buffered at 24 MB).
+    # compile; block=16 fails even single-buffered at 23 MiB).
     row_bytes = int(np.prod(table.shape[1:])) * table.dtype.itemsize
     block = _clamp_block(block, row_bytes, int(idx.shape[0]))
-    if jax.devices()[0].platform != "tpu" and not interpret:
+    if block == 0 or (jax.devices()[0].platform != "tpu" and not interpret):
+        # block == 0: rows too fat to double-buffer (see _clamp_block)
         return jnp.take(table, idx, axis=0)
 
     (b,) = idx.shape

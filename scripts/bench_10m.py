@@ -66,7 +66,6 @@ def main():
     from mysteryann_tpu.io import make_cross_modal
     from mysteryann_tpu.ops import exact_knn
     from mysteryann_tpu.flat import FlatIndex
-    from mysteryann_tpu.ivf import IVFIndex
     from mysteryann_tpu.utils.metrics import compute_recall
 
     key = f"t2i10m_{KEY_VERSION}_{N_BASE}_{DIM}"
@@ -101,7 +100,7 @@ def main():
     rows = []
     only_ivf = "--only-ivf" in sys.argv  # re-run the IVF rows alone
     if only_ivf:
-        return _ivf_rows(base, eval_q, gt_i, rows)
+        return _ivf_rows(base, eval_q, gt_i, rows, only_ivf=True)
 
     log("== flat f32 ==")
     flat = FlatIndex(base, metric="ip")
@@ -163,7 +162,7 @@ def main():
     _ivf_rows(base, eval_q, gt_i, rows)
 
 
-def _ivf_rows(base, eval_q, gt_i, rows):
+def _ivf_rows(base, eval_q, gt_i, rows, only_ivf=False):
     from mysteryann_tpu.ivf import IVFIndex
     from mysteryann_tpu.utils.metrics import compute_recall
 
@@ -185,7 +184,12 @@ def _ivf_rows(base, eval_q, gt_i, rows):
                      "build_s": round(build_s, 1)})
         log(rows[-1])
 
-    print(json.dumps({"scale": N_BASE, "rows": rows}))
+    payload = {"scale": N_BASE, "rows": rows}
+    if only_ivf:
+        # partial run: a results-refresh step must not mistake this for
+        # a full sweep and overwrite flat/graph rows (ADVICE r4)
+        payload["only_ivf"] = True
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

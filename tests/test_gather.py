@@ -57,10 +57,23 @@ def test_clamp_block_budgets():
     assert _clamp_block(32, mb15, 9) == 9    # fits one step: keep 9
     assert _clamp_block(32, mb15, 18) == 4   # 2+ steps: halved budget
     assert _clamp_block(256, 128 * 4, 65536) == 256  # thin rows: cap only
-    assert _clamp_block(64, 1 << 30, 2) == 1  # monster row: floor at 1
+    # rows too fat to double-buffer (> 7 MB) with a multi-step grid:
+    # signal fallback (0) instead of a block that cannot compile
+    assert _clamp_block(64, 1 << 30, 2) == 0
+    assert _clamp_block(64, 8 << 20, 3) == 0
+    assert _clamp_block(64, 8 << 20, 1) == 1  # same row fits one step
     # boundary: n_rows fits one single-buffered step -> keep the full
     # clamped block (padding rounds 13 rows up to one 14-row grid step)
     assert _clamp_block(16, 1 << 20, 13) == 14
+
+
+def test_gather_fat_multistep_falls_back():
+    # (7 MB, 14 MB] rows with n_rows > 1 cannot double-buffer: gather_rows
+    # must fall back to jnp.take rather than emit an uncompilable kernel
+    table = jnp.zeros((3, 8 << 18), jnp.float32)  # 8 MB rows
+    idx = jnp.asarray([2, 0], jnp.int32)
+    got = np.asarray(gather_rows(table, idx, block=16, interpret=True))
+    np.testing.assert_array_equal(got, np.asarray(table)[np.asarray(idx)])
 
 
 def test_gather_rejects_1d():
