@@ -101,6 +101,9 @@ def main():
     only_ivf = "--only-ivf" in sys.argv  # re-run the IVF rows alone
     if only_ivf:
         return _ivf_rows(base, eval_q, gt_i, rows, only_ivf=True)
+    if "--sharded-fused" in sys.argv:
+        mp = int(sys.argv[sys.argv.index("--sharded-fused") + 1])
+        return _sharded_fused_rows(base, eval_q, gt_i, key, mp)
 
     log("== flat f32 ==")
     flat = FlatIndex(base, metric="ip")
@@ -160,6 +163,52 @@ def main():
         break
 
     _ivf_rows(base, eval_q, gt_i, rows)
+
+
+def _sharded_fused_rows(base, eval_q, gt_i, key, mp):
+    """10M graph serving through the mp-sharded fused byte-row engine
+    (VERDICT r4 #8). A bits=4 M=32 table is 3 KB/row -> 28.6+ GB at 10M
+    (never fits one v5e); row-sharded over ``mp`` chips each shard is
+    (n/mp + 1) x 3 KB ~= 3.84 GB at mp=8 (shape math pinned in
+    tests/test_sharded_fused.py::test_10m_shard_packing_math). On real
+    multi-chip hardware this is the one command that lands the 10M
+    sublinear graph row:
+
+        python scripts/bench_10m.py --sharded-fused 8
+
+    On a single-chip rig it degrades gracefully (mesh creation fails
+    with a clear device-count error)."""
+    import jax
+    from mysteryann_tpu.graph import RoarGraphIndex
+    from mysteryann_tpu.parallel import ShardedFusedSearcher, make_mesh
+    from mysteryann_tpu.utils.metrics import compute_recall
+
+    gkey = f"{key}_graph1000000"
+    index_path = next((p for p in (
+        os.path.join(CACHE, f"{gkey}_p{ps}_proj.index") for ps in (2, 1))
+        if os.path.exists(p)), None)
+    if index_path is None:
+        log("no cached 10M index — run scripts/build_10m.py first")
+        sys.exit(2)
+    n_dev = len(jax.devices())
+    dp = n_dev // mp
+    mesh = make_mesh(dp=max(1, dp), mp=mp)
+    log(f"== sharded fused serve (mesh dp={max(1, dp)} x mp={mp}, "
+        f"bits=4, M=32) ==")
+    index = RoarGraphIndex.load(index_path)
+    sf = ShardedFusedSearcher(mesh, index, base, max_degree=32,
+                              seed_sample=2, bits=4)
+    rows = []
+    for L in (48, 64, 96, 128):
+        r = med3(lambda warmup: sf.benchmark(
+            eval_q, k=K, L=L, expand=4, seeds=min(40, L), warmup=warmup))
+        rows.append({"mode": f"sharded_fused_mp{mp}_L{L}",
+                     "qps": round(r["qps"], 1),
+                     "qps_min": round(r["qps_min"], 1),
+                     "qps_max": round(r["qps_max"], 1),
+                     "recall": round(compute_recall(r["ids"], gt_i, K), 4)})
+        log(rows[-1])
+    print(json.dumps({"scale": N_BASE, "rows": rows, "sharded_fused": mp}))
 
 
 def _ivf_rows(base, eval_q, gt_i, rows, only_ivf=False):
