@@ -87,36 +87,37 @@ def main():
         return nq / med, [round(x, 4) for x in ts]
 
     # ---- A: matmul-only sentinel ------------------------------------------
+    # tables are jit ARGUMENTS, never closures: a closed-over device
+    # array embeds as an HLO constant and the tunnel's remote_compile
+    # rejects the multi-hundred-MB request body (HTTP 413)
     @jax.jit
-    def mm_min(q):
-        d = -(q.astype(jnp.bfloat16) @ b16.T).astype(jnp.float32)
+    def mm_min(tab, q):
+        d = -(q.astype(jnp.bfloat16) @ tab.T.astype(jnp.bfloat16)
+              ).astype(jnp.float32)
         return jnp.min(d, axis=1)
 
-    qps, ts = bench_queries(mm_min)
+    qps, ts = bench_queries(lambda q: mm_min(b16, q))
     rows.append({"row": "A_matmul_min_bf16tab", "qps": round(qps, 1),
                  "ts": ts})
     log(rows[-1])
 
-    @jax.jit
-    def mm_min_f32tab(q):
-        d = -(q.astype(jnp.bfloat16) @ b32.T.astype(jnp.bfloat16)
-              ).astype(jnp.float32)
-        return jnp.min(d, axis=1)
-
-    qps, ts = bench_queries(mm_min_f32tab)
+    qps, ts = bench_queries(lambda q: mm_min(b32, q))
     rows.append({"row": "A_matmul_min_f32tab", "qps": round(qps, 1),
                  "ts": ts})
     log(rows[-1])
 
     # ---- B: selection-cost sweep (f32 table) ------------------------------
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("kk", "rt", "agg"))
+    def amk(tab, q, kk, rt, agg):
+        d = -(q.astype(jnp.bfloat16) @ tab.T.astype(jnp.bfloat16)
+              ).astype(jnp.float32)
+        return jax.lax.approx_min_k(d, k=kk, recall_target=rt,
+                                    aggregate_to_topk=agg)
+
     def make_amk(tab, rt, kk, agg):
-        @jax.jit
-        def f(q):
-            d = -(q.astype(jnp.bfloat16) @ tab.T.astype(jnp.bfloat16)
-                  ).astype(jnp.float32)
-            return jax.lax.approx_min_k(d, k=kk, recall_target=rt,
-                                        aggregate_to_topk=agg)
-        return f
+        return lambda q: amk(tab, q, kk=kk, rt=rt, agg=agg)
 
     for rt in (0.95, 0.85, 0.7, 0.5):
         f = make_amk(b32, rt, 2 * K, True)
@@ -165,17 +166,17 @@ def main():
     from mysteryann_tpu.ops.knn import quantize_global_int8, quantize_rows_int8
     bi8, _ = quantize_global_int8(b32)
 
-    def make_i8(rt, kk):
-        @jax.jit
-        def sel(q_i8):
-            d = -jnp.dot(q_i8, bi8.T.astype(jnp.int8),
-                         preferred_element_type=jnp.int32).astype(jnp.float32)
-            return jax.lax.approx_min_k(d, k=kk, recall_target=rt,
-                                        aggregate_to_topk=True)
+    @partial(jax.jit, static_argnames=("kk", "rt"))
+    def i8_sel(tab_i8, q_i8, kk, rt):
+        d = -jnp.dot(q_i8, tab_i8.T,
+                     preferred_element_type=jnp.int32).astype(jnp.float32)
+        return jax.lax.approx_min_k(d, k=kk, recall_target=rt,
+                                    aggregate_to_topk=True)
 
+    def make_i8(rt, kk):
         def f(q):
             q_i8, _ = quantize_rows_int8(q)
-            _, ii = sel(q_i8)
+            _, ii = i8_sel(bi8, q_i8, kk=kk, rt=rt)
             return _rerank_f32(b32, q, jnp.maximum(ii, 0), K, Metric.IP)
         return f
 
