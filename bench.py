@@ -154,6 +154,7 @@ def _bench_median(bench_fn, gt_i, gt_d, k, repeats=REPEATS, ramp=2):
     qpss = sorted(t["qps"] for t in trials)
     row = _finish_row(trials[-1], gt_i, gt_d, k)
     row["qps"] = qpss[len(qpss) // 2]
+    row["qps_trials"] = [round(x, 1) for x in qpss]
     row["qps_min"], row["qps_max"] = qpss[0], qpss[-1]
     # ramp trials are NOT medianed but recorded: on this time-sliced rig
     # the first trial after compile often lands a high-share window
@@ -284,14 +285,18 @@ def main():
     # 231.0k QPS for the 256k-tile scan at recall .9866 vs .9932
     # (scripts/probe_flat.py, 2026-08-19) — selection loss from one
     # approx_min_k over 1M columns costs ~0.7pt, far above the target
+    def measure_flat():
+        flat = FlatIndex(base, metric=METRIC, tile=N_BASE)
+        row = _bench_median(
+            lambda warmup: flat.benchmark(eval_q, k=K, warmup=warmup),
+            gt_i, gt_d, K)
+        log(f"flat: QPS={row['qps']:.0f} recall={row['recall']:.4f}")
+        del flat  # release the device-resident base copy
+        _fresh_mode()
+        return row
+
     log("== flat index ==")
-    flat = FlatIndex(base, metric=METRIC, tile=N_BASE)
-    flat_row = _bench_median(
-        lambda warmup: flat.benchmark(eval_q, k=K, warmup=warmup),
-        gt_i, gt_d, K)
-    log(f"flat: QPS={flat_row['qps']:.0f} recall={flat_row['recall']:.4f}")
-    del flat  # release its device-resident base copy before the next mode
-    _fresh_mode()
+    flat_row = measure_flat()
 
     if flat_row["recall"] >= TARGET_RECALL:
         print(json.dumps(_headline(
@@ -367,6 +372,23 @@ def main():
     graph_rows = graph_sweep(8, SEEDED_L_SWEEP)
     at_target = [r for r in graph_rows if r["recall"] >= TARGET_RECALL]
     graph_best = max(at_target, key=lambda r: r["qps"]) if at_target else None
+
+    # ---- flat window 2 (VERDICT r5: two-window sampling) ------------------
+    # The chip's time-slice state flaps on ~minute scales (r5 measured the
+    # SAME flat config at 290k and 23k QPS 40 minutes apart, sentinel
+    # "quiet" both times). One window's plateau median can land entirely
+    # inside a depressed slice, so the headline flat row is the median
+    # over TWO windows ~20 min apart (each ramp-discarded); per-window
+    # medians stay in the detail for diagnosability.
+    log("== flat index (window 2) ==")
+    flat_row2 = measure_flat()
+    pooled = sorted(flat_row["qps_trials"] + flat_row2["qps_trials"])
+    flat_row["qps_w1"], flat_row["qps_w2"] = flat_row["qps"], flat_row2["qps"]
+    flat_row["qps"] = pooled[len(pooled) // 2]
+    flat_row["qps_min"], flat_row["qps_max"] = pooled[0], pooled[-1]
+    flat_row["qps_trials"] = pooled
+    log(f"flat pooled: QPS={flat_row['qps']:.0f} "
+        f"(w1={flat_row['qps_w1']:.0f}, w2={flat_row['qps_w2']:.0f})")
 
     # classic engine, one parity row (same graph, f32 vectors)
     searcher = Searcher(index, base)

@@ -86,3 +86,13 @@ def test_headline_is_compact_and_tags_provisional():
 def test_bench_repeats_default_is_median_of_five():
     # VERDICT r4 weak #3: widen headline rows to median-of-5
     assert bench.REPEATS == 5
+
+
+def test_bench_rows_carry_sorted_trials():
+    # two-window pooling (bench.py "flat window 2") medians over the
+    # concatenated per-window trial lists — rows must expose them
+    seq = [9.0, 9.0, 30.0, 10.0, 20.0]
+    fn, ids, dists, _ = _fake_bench_fn(seq)
+    row = bench._bench_median(fn, ids, dists, k=10, repeats=3, ramp=2)
+    assert row["qps_trials"] == [10.0, 20.0, 30.0]
+    assert row["qps"] == 20.0
