@@ -64,6 +64,14 @@ class FlatIndex:
     recall loss is confined to scan-boundary candidates the oversample
     absorbs.
 
+    ``precision="bf16"`` scans a bf16-RESIDENT copy of the table (half
+    the HBM bytes per sweep — the lever at multi-tile scale where the
+    scan is bandwidth-bound, e.g. 10M×128 = 39 tiles) and reranks the
+    k·oversample head with exact f32, so reported distances stay exact.
+    At single-tile 1M the scan is compute-bound and bf16 gains ~1%
+    (scripts/probe_flat5.py); at 10M the f32 sweep moves 5.1 GB per
+    batch vs 2.56 GB — measure per scale.
+
     ``precision="scan"`` routes through the experimental binned-scan
     pallas kernel (`ops/scan.py`) — measured SLOWER than the fused XLA
     path at 1M (46k vs 283.5k QPS; the kernel docstring records why).
@@ -76,7 +84,7 @@ class FlatIndex:
                  tile: int = 262144, oversample: int = 2,
                  precision: str = "f32", recall_target: float = 0.95,
                  int8_scale: str = "auto"):
-        if precision not in ("f32", "int8", "scan"):
+        if precision not in ("f32", "bf16", "int8", "scan"):
             raise ValueError(f"unknown precision {precision!r}")
         if int8_scale not in ("auto", "row", "global"):
             raise ValueError(f"unknown int8_scale {int8_scale!r}")
@@ -106,6 +114,8 @@ class FlatIndex:
                 self.base_i8, self.base_scale = quantize_rows_int8(self.base)
                 self.base_norm = (jnp.sum(self.base * self.base, axis=1)
                                   if self.metric == Metric.L2 else None)
+        elif precision == "bf16":
+            self.base_bf16 = jnp.asarray(self.base, jnp.bfloat16)
         elif precision == "scan":
             from mysteryann_tpu.ops.scan import make_scan_table
             if self.metric == Metric.L2:
@@ -160,6 +170,16 @@ class FlatIndex:
                 dd, ii = flat_scan_topk(qs, self.scan_table, self.n_base, k,
                                         base_f32=self.base,
                                         oversample=self.oversample)
+                outs.append((ii, dd))
+            elif self.precision == "bf16":
+                # both operands bf16 so the matmul takes the full-rate
+                # MXU path; f32 accumulate (preferred_element_type)
+                _, ii = exact_knn_device(
+                    qs.astype(jnp.bfloat16), self.base_bf16, k=kk,
+                    metric=self.metric, tile=self.tile, approx=True,
+                    recall_target=self.recall_target)
+                dd, ii = _rerank_f32(self.base, qs,
+                                     jnp.maximum(ii, 0), k, self.metric)
                 outs.append((ii, dd))
             elif self.precision == "int8":
                 if self.int8_scale == "global":

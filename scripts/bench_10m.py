@@ -116,6 +116,19 @@ def main():
     log(rows[-1])
     del flat
 
+    log("== flat bf16-resident (half the sweep bytes) + f32 rerank ==")
+    # the 39-tile 10M sweep is HBM-bound (unlike single-tile 1M):
+    # a bf16 table moves 2.56 GB/batch vs f32's 5.1 GB
+    flat16 = FlatIndex(base, metric="ip", precision="bf16", oversample=2)
+    r = med3(lambda warmup: flat16.benchmark(eval_q, k=K, warmup=warmup))
+    r["recall"] = compute_recall(r["ids"], gt_i, K)
+    rows.append({"mode": "flat_bf16", "qps": round(r["qps"], 1),
+                 "qps_min": round(r["qps_min"], 1),
+                 "qps_max": round(r["qps_max"], 1),
+                 "recall": round(r["recall"], 4)})
+    log(rows[-1])
+    del flat16
+
     log("== flat int8 (global scale) ==")
     flat8 = FlatIndex(base, metric="ip", precision="int8", oversample=4)
     r = med3(lambda warmup: flat8.benchmark(eval_q, k=K, warmup=warmup))

@@ -107,3 +107,38 @@ def test_flat_scan_mode_validation():
     base2, _ = make_cross_modal(2000, 10, 128, metric="l2", seed=9)
     with pytest.raises(ValueError, match="ip/cosine"):
         FlatIndex(base2, metric="l2", precision="scan")
+
+
+def test_flat_bf16_matches_exact():
+    import numpy as np
+    from mysteryann_tpu.io import make_cross_modal
+    from mysteryann_tpu.flat import FlatIndex
+    from mysteryann_tpu.ops import compute_ground_truth
+    from mysteryann_tpu.utils.metrics import compute_recall
+
+    base, queries = make_cross_modal(4000, 200, 48, metric="ip", seed=5)
+    gt_i, gt_d = compute_ground_truth(queries, base, k=10, metric="ip")
+    idx = FlatIndex(base, metric="ip", precision="bf16", oversample=4)
+    ids, dists = idx.search(queries, k=10, query_batch=200)
+    rec = compute_recall(ids, gt_i.astype(np.int64), 10)
+    assert rec >= 0.99, rec
+    # the bf16 table only drives SELECTION; reported dists are exact f32
+    assert dists.dtype == np.float32
+    agree = ids == gt_i
+    np.testing.assert_allclose(np.where(agree, dists, 0),
+                               np.where(agree, gt_d, 0), rtol=1e-5)
+
+
+def test_flat_bf16_l2():
+    import numpy as np
+    from mysteryann_tpu.io import make_cross_modal
+    from mysteryann_tpu.flat import FlatIndex
+    from mysteryann_tpu.ops import compute_ground_truth
+    from mysteryann_tpu.utils.metrics import compute_recall
+
+    base, queries = make_cross_modal(3000, 100, 32, metric="l2", seed=6)
+    gt_i, _ = compute_ground_truth(queries, base, k=10, metric="l2")
+    idx = FlatIndex(base, metric="l2", precision="bf16", oversample=4)
+    ids, _ = idx.search(queries, k=10, query_batch=100)
+    rec = compute_recall(ids, gt_i.astype(np.int64), 10)
+    assert rec >= 0.98, rec
