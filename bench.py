@@ -373,6 +373,21 @@ def main():
     at_target = [r for r in graph_rows if r["recall"] >= TARGET_RECALL]
     graph_best = max(at_target, key=lambda r: r["qps"]) if at_target else None
 
+    # refreshed provisional: best mode so far (the driver records a
+    # bounded stdout tail — keep the current best landing on stdout in
+    # case a timeout cuts the remaining stages)
+    so_far = [r for r in [flat_row, flat8_row, graph_best]
+              if r and r["recall"] >= TARGET_RECALL]
+    if so_far:
+        b = max(so_far, key=lambda r: r["qps"])
+        print(json.dumps(_headline(
+            b["qps"], base_qps,
+            {"mode": ("flat" if b is flat_row else
+                      "flat_int8" if b is flat8_row else "roargraph"),
+             "recall": round(b["recall"], 4),
+             "note": "pre-final; flat window 2 pending"},
+            provisional=True)), flush=True)
+
     # ---- flat window 2 (VERDICT r5: two-window sampling) ------------------
     # The chip's time-slice state flaps on ~minute scales (r5 measured the
     # SAME flat config at 290k and 23k QPS 40 minutes apart, sentinel
