@@ -104,41 +104,29 @@ def main():
     if "--sharded-fused" in sys.argv:
         mp = int(sys.argv[sys.argv.index("--sharded-fused") + 1])
         return _sharded_fused_rows(base, eval_q, gt_i, key, mp)
+    skip_flat = "--skip-flat" in sys.argv  # graph/IVF-focused re-run
+    skip_ivf = "--skip-ivf" in sys.argv
 
-    log("== flat f32 ==")
-    flat = FlatIndex(base, metric="ip")
-    r = med3(lambda warmup: flat.benchmark(eval_q, k=K, warmup=warmup))
-    r["recall"] = compute_recall(r["ids"], gt_i, K)
-    rows.append({"mode": "flat_f32", "qps": round(r["qps"], 1),
-                 "qps_min": round(r["qps_min"], 1),
-                 "qps_max": round(r["qps_max"], 1),
-                 "recall": round(r["recall"], 4)})
-    log(rows[-1])
-    del flat
+    def flat_row(precision, oversample):
+        idx = FlatIndex(base, metric="ip", precision=precision,
+                        oversample=oversample)
+        r = med3(lambda warmup: idx.benchmark(eval_q, k=K, warmup=warmup))
+        r["recall"] = compute_recall(r["ids"], gt_i, K)
+        rows.append({"mode": f"flat_{precision}", "qps": round(r["qps"], 1),
+                     "qps_min": round(r["qps_min"], 1),
+                     "qps_max": round(r["qps_max"], 1),
+                     "recall": round(r["recall"], 4)})
+        log(rows[-1])
 
-    log("== flat bf16-resident (half the sweep bytes) + f32 rerank ==")
-    # the 39-tile 10M sweep is HBM-bound (unlike single-tile 1M):
-    # a bf16 table moves 2.56 GB/batch vs f32's 5.1 GB
-    flat16 = FlatIndex(base, metric="ip", precision="bf16", oversample=2)
-    r = med3(lambda warmup: flat16.benchmark(eval_q, k=K, warmup=warmup))
-    r["recall"] = compute_recall(r["ids"], gt_i, K)
-    rows.append({"mode": "flat_bf16", "qps": round(r["qps"], 1),
-                 "qps_min": round(r["qps_min"], 1),
-                 "qps_max": round(r["qps_max"], 1),
-                 "recall": round(r["recall"], 4)})
-    log(rows[-1])
-    del flat16
-
-    log("== flat int8 (global scale) ==")
-    flat8 = FlatIndex(base, metric="ip", precision="int8", oversample=4)
-    r = med3(lambda warmup: flat8.benchmark(eval_q, k=K, warmup=warmup))
-    r["recall"] = compute_recall(r["ids"], gt_i, K)
-    rows.append({"mode": "flat_int8", "qps": round(r["qps"], 1),
-                 "qps_min": round(r["qps_min"], 1),
-                 "qps_max": round(r["qps_max"], 1),
-                 "recall": round(r["recall"], 4)})
-    log(rows[-1])
-    del flat8
+    if not skip_flat:
+        log("== flat f32 ==")
+        flat_row("f32", 2)
+        # bf16-RESIDENT table: the 39-tile 10M sweep is HBM-bound
+        # (unlike single-tile 1M) — 2.56 GB/batch vs f32's 5.1 GB
+        log("== flat bf16-resident (half the sweep bytes) + f32 rerank ==")
+        flat_row("bf16", 2)
+        log("== flat int8 (global scale) ==")
+        flat_row("int8", 4)
 
     # ---- RoarGraph (built by scripts/build_10m.py; cached index) ----------
     # The reference's headline regime is the 10M *graph* build + search
@@ -175,6 +163,11 @@ def main():
         del s, index
         break
 
+    if skip_ivf:
+        print(json.dumps({"scale": N_BASE, "rows": rows,
+                          "skipped": ["ivf"] + (["flat"] if skip_flat
+                                                else [])}))
+        return
     _ivf_rows(base, eval_q, gt_i, rows)
 
 
