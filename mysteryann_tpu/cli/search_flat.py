@@ -26,13 +26,18 @@ def main(argv=None) -> int:
     add_common_search_flags(p)
     p.add_argument("--tile", type=int, default=262144)
     p.add_argument("--oversample", type=int, default=2)
+    p.add_argument("--precision", choices=("f32", "bf16", "int8"),
+                   default="f32",
+                   help="bf16: half-byte resident table + exact f32 "
+                        "rerank (the multi-tile-scale champion); int8: "
+                        "global-scale scan + exact f32 rerank")
     args = p.parse_args(argv)
 
     base = load_vectors(args.base_data_path)
     queries = load_vectors(args.query_path)
     gt_ids, gt_dists = read_gt_with_dist(args.gt_path)
     idx = FlatIndex(base, metric=args.dist or "ip", tile=args.tile,
-                    oversample=args.oversample)
+                    oversample=args.oversample, precision=args.precision)
     r = idx.benchmark(queries, k=args.k, query_batch=args.query_batch)
     row = {
         "L_pq": 0,
